@@ -1,38 +1,233 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: derive SGID-shaped inputs from sf0.001, pack
+                 them into the interleaved span-document substrate, unpack,
+                 run the alias pipeline and the spatial geocode match.
+queries()      — one entry per implemented operator (SURVEY.md §2).
+oracle_sql()   — DuckDB-equivalent SQL for every value-checkable operator;
+                 approximate/hash-based ops (minhash, simhash, IVF, media
+                 stub) are rows-only by design and are covered by pytest
+                 oracles instead (tests/).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from roadgrinder_spark import datagen
+from roadgrinder_spark.session import ship_package
+from roadgrinder_spark.schemas import ROADS_SCHEMA
+from roadgrinder_spark.functions import text as T
+from roadgrinder_spark.operators import dedup, events, media, spans, vectors
+from roadgrinder_spark.operators import roadgrinder as rg
+from roadgrinder_spark.spatial import cells as sc
+from roadgrinder_spark.spatial import join as sj
+
+_DOC_TABLES = ("documents", "events", "embeddings")
+
+
+def _with(body: str, *ctes: str) -> str:
+    return "WITH " + ", ".join(c.strip().strip(",") for c in ctes) + " " + body.strip()
+
+
+def _register(spark: SparkSession, sf_dir: str) -> None:
+    datagen.register_source_views(spark, sf_dir)
+
+
+def _roads(spark, sf_dir):
+    return datagen.derive_roads(spark, sf_dir)
+
+
+def _pnts(spark, sf_dir):
+    return datagen.derive_addrpnts(spark, sf_dir)
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _packed(spark, sf_dir):
+    return spans.pack_documents(_roads(spark, sf_dir), _pnts(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on sf0.001: documents substrate → unpack → X1 → spatial
+    geocode match. Exercises scan, JSON span pack/unpack, explode,
+    normalization, hash joins, window top-1."""
+    sf = "/root/testdata/sf0.001"
+    packed = _packed(spark, sf)
+    roads = spans.unpack_roads(packed)
+    pnts = spans.unpack_addrpnts(packed)
+    out = rg.explode_aliases(roads)
+    return sj.geocode_match(pnts, out.geocode_roads, with_detail=True)
 
+
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # -- substrate / span invariants --------------------------------------
+    q["derive_roads"] = _roads
+    q["derive_addrpnts"] = _pnts
+    q["unpack_roads_roundtrip"] = lambda s, d: spans.unpack_roads(_packed(s, d)).select(
+        *[f.name for f in ROADS_SCHEMA.fields]
+    )
 
+    # -- RoadGrinder relational pipeline (X1/X2/X3) ------------------------
+    q["geocode_roads"] = lambda s, d: rg.explode_aliases(_roads(s, d)).geocode_roads
+    q["alias_explosion"] = lambda s, d: rg.explode_aliases(_roads(s, d)).altnames_stage1
+    q["altnames_roads_nopredir"] = lambda s, d: rg.altnames_roads_nopredir(
+        rg.explode_aliases(_roads(s, d)).scratch
+    )
+    def _altnames_roads(s, d):
+        out = rg.explode_aliases(_roads(s, d))
+        return rg.altnames_roads(out.scratch, out.altnames_stage1)
+    q["altnames_roads"] = _altnames_roads
+    q["altnames_addrpnts"] = lambda s, d: rg.altnames_addrpnts(_pnts(s, d))
+
+    # -- spatial: tiles, kNN, geocode match --------------------------------
+    q["tiles_points"] = lambda s, d: _pnts(s, d).select(
+        F.col("objectid").alias("point_id"),
+        sc.point_cell(F.col("px"), F.col("py")).alias("cell"),
+    )
+    q["tiles_roads"] = lambda s, d: sc.segment_bbox_cover(
+        _roads(s, d).select(F.col("objectid").alias("road_id"), "x1", "y1", "x2", "y2")
+    ).select("road_id", "cell")
+    q["nearest_road"] = lambda s, d: sj.knn_join(_pnts(s, d), _roads(s, d), k=1)
+    q["spatial_knn3"] = lambda s, d: sj.knn_join(_pnts(s, d), _roads(s, d), k=3)
+    q["nearest_road_salted"] = lambda s, d: sj.knn_join(
+        _pnts(s, d), _roads(s, d), k=1, salt_threshold=50, n_salt=8
+    )
+    q["geocode_match"] = lambda s, d: sj.geocode_match(
+        _pnts(s, d), rg.explode_aliases(_roads(s, d)).geocode_roads
+    )
+
+    # -- dedup family -------------------------------------------------------
+    q["dedup_exact"] = lambda s, d: dedup.dedup_exact(_docs(s, d))
+    q["ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(
+        _docs(s, d), threshold=0.25, max_df=100
+    )
+    q["minhash_lsh"] = lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d), threshold=0.3)
+    q["simhash_pairs"] = lambda s, d: dedup.simhash_near_pairs(_docs(s, d), max_hamming=16)
+
+    # -- text analysis ------------------------------------------------------
+    q["text_stats"] = lambda s, d: _docs(s, d).select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        T.lang_id(F.col("text")).alias("lang_pred"),
+        F.round(T.quality_score(F.col("text")), 6).alias("quality"),
+    )
+    q["doc_fingerprints"] = lambda s, d: _docs(s, d).select(
+        "doc_id", T.doc_fingerprint("text").alias("fingerprint")
+    )
+
+    # -- similarity search --------------------------------------------------
+    q["ann_brute_topk"] = lambda s, d: vectors.brute_force_topk(_embs(s, d))
+    q["ann_ivf_topk"] = lambda s, d: (ship_package(s), vectors.ivf_topk(_embs(s, d)))[1]
+
+    # -- events -------------------------------------------------------------
+    q["hourly_rollup"] = lambda s, d: events.hourly_rollup(_events(s, d))
+    q["sessionize"] = lambda s, d: events.sessionize(_events(s, d))
+    q["top_users"] = lambda s, d: events.top_users_by_value(_events(s, d))
+
+    # -- multimodal (stubbed decode, real plumbing) --------------------------
+    q["media_features"] = lambda s, d: (ship_package(s), media.extract_media_features(
+        _packed(s, d)
+    ).select("doc_id", "media_ref", "width", "height"))[1]
+
+    return q
+
+
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    R, P, S, C = (
+        datagen.ROADS_CTE,
+        datagen.ADDRPNTS_CTE,
+        rg.SCRATCH_CTE,
+        rg.ADDRPNT_CAND_CTE,
+    )
+    roads_cols = ", ".join(f.name for f in ROADS_SCHEMA.fields)
+    o: dict[str, str] = {}
+    o["derive_roads"] = _with("SELECT * FROM roads", R)
+    o["derive_addrpnts"] = _with("SELECT * FROM addrpnts", P)
+    o["unpack_roads_roundtrip"] = _with(f"SELECT {roads_cols} FROM roads", R)
+
+    o["geocode_roads"] = _with(rg.ORACLE_GEOCODE_ROADS, R, S)
+    o["alias_explosion"] = _with(rg.ORACLE_ALTNAMES_STAGE1, R, S)
+    o["altnames_roads_nopredir"] = _with(rg.ORACLE_ALTNAMES_NOPREDIR, R, S)
+    o["altnames_roads"] = _with(rg.ORACLE_ALTNAMES_ROADS, R, S)
+    o["altnames_addrpnts"] = _with(rg.ORACLE_ALTNAMES_ADDRPNTS, P, C)
+
+    o["tiles_points"] = _with(
+        f"SELECT objectid AS point_id, {sc.point_cell_sql('px', 'py')} AS cell "
+        "FROM addrpnts",
+        P,
+    )
+    s_ = sc.DEFAULT_CELL_SIZE
+    o["tiles_roads"] = _with(
+        f"""SELECT r.objectid AS road_id, cx.cx * {sc.PACK} + cy.cy AS cell
+        FROM roads r,
+        LATERAL (SELECT unnest(range(
+          CAST(FLOOR(least(r.x1, r.x2) / {s_}) AS BIGINT) - 1,
+          CAST(FLOOR(greatest(r.x1, r.x2) / {s_}) AS BIGINT) + 2)) AS cx) cx,
+        LATERAL (SELECT unnest(range(
+          CAST(FLOOR(least(r.y1, r.y2) / {s_}) AS BIGINT) - 1,
+          CAST(FLOOR(greatest(r.y1, r.y2) / {s_}) AS BIGINT) + 2)) AS cy) cy""",
+        R,
+    )
+    knn1_body, knn1_ctes = _split_body(sj.oracle_knn_sql(k=1))
+    knn3_body, knn3_ctes = _split_body(sj.oracle_knn_sql(k=3))
+    gc_body, gc_ctes = _split_body(sj.oracle_geocode_match_sql())
+    o["nearest_road"] = _with(knn1_body, R, P, knn1_ctes)
+    o["spatial_knn3"] = _with(knn3_body, R, P, knn3_ctes)
+    o["nearest_road_salted"] = _with(knn1_body, R, P, knn1_ctes)
+    o["geocode_match"] = _with(gc_body, R, P, S, gc_ctes)
+
+    o["dedup_exact"] = dedup.ORACLE_DEDUP_EXACT
+    o["ngram_jaccard"] = _with(
+        # oracle_ngram_jaccard_sql carries its own CTE list + body
+        *_split_body(dedup.oracle_ngram_jaccard_sql(threshold=0.25, max_df=100))
+    )
+    o["text_stats"] = (
+        f"SELECT doc_id, {T.token_count_sql('text')} AS n_tokens, "
+        f"{T.lang_id_sql('text')} AS lang_pred, "
+        f"round({T.quality_score_sql('text')}, 6) AS quality FROM documents"
+    )
+    o["ann_brute_topk"] = _with(*_split_body(vectors.oracle_brute_force_topk_sql()))
+    o["hourly_rollup"] = events.ORACLE_HOURLY_ROLLUP
+    o["sessionize"] = _with(*_split_body(events.oracle_sessionize_sql()))
+    o["top_users"] = _with(*_split_body(events.oracle_top_users_sql()))
+    # rows-only (approximate / hash-based / stubbed): minhash_lsh,
+    # simhash_pairs, doc_fingerprints, ann_ivf_topk, media_features
+    return o
+
+
+def _split_body(sql: str) -> tuple[str, str]:
+    """Split 'ctes...\\nSELECT ...' builder output into (body, ctes) for
+    _with — builders emit 'cte1 AS (...), cte2 AS (...)\\nSELECT ...'."""
+    idx = sql.rfind("\nSELECT")
+    if idx == -1:
+        # builder output begins with the final SELECT (no CTEs)
+        return (sql, "")
+    body = sql[idx + 1 :]
+    ctes = sql[:idx]
+    return (body, ctes)

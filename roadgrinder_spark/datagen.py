@@ -143,13 +143,15 @@ roads AS (
 #: different-predir anti-join both ways.
 ADDRPNTS_CTE = f"""
 __pnts_base AS (
+  -- DISTINCT: the driver's synthetic lineitem repeats (orderkey, linenumber)
+  -- pairs; address-point objectids must be unique
   SELECT
     l_orderkey * 8 + l_linenumber AS k2,
     l_orderkey AS ok,
     l_orderkey % 7 AS grid,
     l_orderkey % 37 AS name_num,
     (l_orderkey % 11) * 100 AS b
-  FROM lineitem
+  FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)
 ),
 addrpnts AS (
   SELECT
@@ -182,9 +184,19 @@ def with_sources(sql_body: str, ctes: str) -> str:
 
 
 def register_source_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register the driver parquet tables as temp views for Spark SQL."""
+    """Register the driver parquet tables as temp views for Spark SQL.
+
+    The testdata files are single small parquet files (1-3 row groups), so
+    scans get 1-3 tasks and the CASE-heavy derivation projection would run
+    nearly single-threaded. Repartitioning the raw keys first (one cheap
+    round-robin shuffle of a narrow table) lets the derivation use every
+    core. On a real cluster the sources are multi-file Iceberg tables and
+    this is unnecessary — but harmless, AQE coalesces it.
+    """
+    par = spark.sparkContext.defaultParallelism
     for name in SOURCE_TABLES:
-        spark.read.parquet(f"{sf_dir}/{name}.parquet").createOrReplaceTempView(name)
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet").repartition(par)
+        df.createOrReplaceTempView(name)
 
 
 def derive_roads(spark: SparkSession, sf_dir: str) -> DataFrame:

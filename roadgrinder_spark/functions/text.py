@@ -1,0 +1,179 @@
+"""Text-analysis column builders for the training-data pipeline
+(language-ID heuristic, quality scoring, token counting, fingerprinting).
+
+Everything except the rolling-hash fingerprint is built from the shared
+Spark/DuckDB arithmetic subset (length/replace/trim/case), so each op is
+oracle-checkable. Counting a pattern via replace-difference instead of
+regex keeps the two engines' semantics provably identical.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+# ---------------------------------------------------------------------------
+# occurrence counting: (len(s) - len(replace(s, pat, ''))) / len(pat)
+# ---------------------------------------------------------------------------
+
+def occurrences(col: Column, pat: str) -> Column:
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(pat), F.lit(""))))
+        / F.lit(len(pat))
+    ).cast("long")
+
+
+def occurrences_sql(expr: str, pat: str) -> str:
+    p = pat.replace("'", "''")
+    return (
+        f"CAST((length({expr}) - length(replace({expr}, '{p}', ''))) "
+        f"/ {len(pat)} AS BIGINT)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# token count over whitespace-collapsed text
+# ---------------------------------------------------------------------------
+
+def token_count(col: Column) -> Column:
+    """Tokens = space-runs + 1 on trimmed text ('' -> 0). Uses the same
+    replace-difference arithmetic as the oracle (no regex-split semantics
+    to disagree on)."""
+    collapsed = F.regexp_replace(F.trim(col), r"\s+", " ")
+    return (
+        F.when(collapsed == "", F.lit(0))
+        .otherwise(
+            F.length(collapsed) - F.length(F.replace(collapsed, F.lit(" "), F.lit(""))) + 1
+        )
+        .cast("long")
+    )
+
+
+def token_count_sql(expr: str) -> str:
+    collapsed = rf"regexp_replace(trim({expr}), '\s+', ' ', 'g')"
+    return (
+        f"CAST(CASE WHEN {collapsed} = '' THEN 0 ELSE "
+        f"length({collapsed}) - length(replace({collapsed}, ' ', '')) + 1 "
+        f"END AS BIGINT)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# language-ID heuristic: marker-word hit counts, deterministic argmax
+# ---------------------------------------------------------------------------
+
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " et ", " les "],
+    "es": [" el ", " y ", " los "],
+}
+#: argmax precedence when scores tie (first wins); 'und' = undetermined
+LANG_ORDER = ["en", "de", "fr", "es"]
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    padded = F.concat(F.lit(" "), col, F.lit(" "))
+    return {
+        lang: sum(occurrences(padded, m) for m in markers)
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(col: Column) -> Column:
+    """Highest marker count wins; ties broken by LANG_ORDER; all-zero → 'und'."""
+    scores = lang_scores(col)
+    best = F.greatest(*[scores[lang] for lang in LANG_ORDER])
+    out = F.lit("und")
+    for lang in reversed(LANG_ORDER):
+        out = F.when(scores[lang] == best, F.lit(lang)).otherwise(out)
+    return F.when(best == 0, F.lit("und")).otherwise(out)
+
+
+def lang_id_sql(expr: str) -> str:
+    padded = f"(' ' || {expr} || ' ')"
+    score = {
+        lang: "(" + " + ".join(occurrences_sql(padded, m) for m in markers) + ")"
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = "greatest(" + ", ".join(score[lang] for lang in LANG_ORDER) + ")"
+    out = "'und'"
+    for lang in reversed(LANG_ORDER):
+        out = f"CASE WHEN {score[lang]} = {best} THEN '{lang}' ELSE {out} END"
+    return f"CASE WHEN {best} = 0 THEN 'und' ELSE {out} END"
+
+
+# ---------------------------------------------------------------------------
+# quality score: length + stopword signals -> [0, 1]
+# ---------------------------------------------------------------------------
+
+def quality_score(col: Column) -> Column:
+    """Deterministic heuristic: 0.5 * min(1, tokens/200)
+    + 0.3 * min(1, 10*stopwords/tokens) + 0.2 * (avg word len in [3,8]).
+    Same expression shape as quality_score_sql — doubles match exactly."""
+    toks = token_count(col)
+    stop = sum(occurrences(F.concat(F.lit(" "), col, F.lit(" ")), m)
+               for m in LANG_MARKERS["en"])
+    collapsed = F.regexp_replace(F.trim(col), r"\s+", " ")
+    chars = F.length(F.replace(collapsed, F.lit(" "), F.lit("")))
+    awl = F.when(toks > 0, chars / toks).otherwise(F.lit(0.0))
+    length_part = F.least(F.lit(1.0), toks / F.lit(200.0)) * 0.5
+    stop_part = (
+        F.when(toks > 0, F.least(F.lit(1.0), stop * F.lit(10.0) / toks)).otherwise(F.lit(0.0))
+        * 0.3
+    )
+    awl_part = F.when((awl >= 3.0) & (awl <= 8.0), F.lit(0.2)).otherwise(F.lit(0.0))
+    return length_part + stop_part + awl_part
+
+
+def quality_score_sql(expr: str) -> str:
+    toks = token_count_sql(expr)
+    padded = f"(' ' || {expr} || ' ')"
+    stop = "(" + " + ".join(occurrences_sql(padded, m) for m in LANG_MARKERS["en"]) + ")"
+    collapsed = rf"regexp_replace(trim({expr}), '\s+', ' ', 'g')"
+    chars = f"length(replace({collapsed}, ' ', ''))"
+    awl = f"(CASE WHEN {toks} > 0 THEN {chars} / {toks} ELSE 0.0 END)"
+    return (
+        f"least(1.0, {toks} / 200.0) * 0.5 "
+        f"+ (CASE WHEN {toks} > 0 THEN least(1.0, {stop} * 10.0 / {toks}) ELSE 0.0 END) * 0.3 "
+        f"+ (CASE WHEN {awl} >= 3.0 AND {awl} <= 8.0 THEN 0.2 ELSE 0.0 END)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# document fingerprint: winnowing over rolling k-gram hashes — fully
+# JVM-side (higher-order functions over xxhash64 k-gram hashes); no Python
+# in the hot path. Robust-winnowing variant: fingerprint set = distinct
+# per-window minima of k-gram hashes (Schleimer et al., SIGMOD'03 scheme).
+# ---------------------------------------------------------------------------
+
+def kgram_hashes(col_name: str, k: int = 8) -> Column:
+    """array<long> of xxhash64 over each k-char gram (rolling positions)."""
+    return F.expr(
+        f"transform(sequence(1, greatest(1, length({col_name}) - {k - 1})), "
+        f"i -> xxhash64(substring({col_name}, i, {k})))"
+    )
+
+
+def winnow_fingerprints(col_name: str, k: int = 8, window: int = 4) -> Column:
+    """array<long> fingerprint set: sorted distinct minima of each
+    length-`window` window over the k-gram hash sequence."""
+    grams = f"transform(sequence(1, greatest(1, length({col_name}) - {k - 1})), i -> xxhash64(substring({col_name}, i, {k})))"
+    return F.expr(
+        f"array_sort(array_distinct(transform("
+        f"sequence(1, greatest(1, size({grams}) - {window - 1})), "
+        f"w -> array_min(slice({grams}, w, {window})))))"
+    )
+
+
+def doc_fingerprint(col_name: str, k: int = 8, window: int = 4) -> Column:
+    """Single 64-bit document fingerprint: hash of the winnowed set."""
+    return F.xxhash64(
+        F.concat_ws(",", winnow_fingerprints(col_name, k, window).cast("array<string>"))
+    )
+
+
+_ = (np, pd)  # numpy/pandas kept for future vectorized kernels

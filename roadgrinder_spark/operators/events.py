@@ -1,0 +1,111 @@
+"""Event-table operators: time-bucket rollup and gap sessionization.
+
+The reference is batch-only (SURVEY.md §2.8); these cover the analytics
+surface a training-data pipeline needs over an append-only event log. The
+streaming variants live in roadgrinder_spark/streaming/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hourly_rollup(events: DataFrame) -> DataFrame:
+    """Per (hour, event_type): count + sum(value).
+
+    sum is rounded to 3 dp in BOTH engines — double addition order across
+    partitions is nondeterministic, so the raw sum is not hash-stable;
+    3 dp absorbs the drift (values have 2 dp, groups are ~thousands).
+    """
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 3).alias("sum_value"),
+        )
+    )
+
+
+ORACLE_HOURLY_ROLLUP = (
+    "SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n, "
+    "round(sum(value), 3) AS sum_value FROM events GROUP BY 1, 2"
+)
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessions per user: a new session starts when the gap from
+    the previous event exceeds gap_minutes. Returns per-session rows
+    (user_id, session_idx, n_events, started, ended)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet TIMESTAMP_NTZ → epoch seconds (session TZ is pinned UTC, so
+    # this agrees with DuckDB's epoch())
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    flagged = events.withColumn(
+        "_new", F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    )
+    sess = flagged.withColumn(
+        "session_idx",
+        F.sum("_new").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("started"),
+        F.max("ts").alias("ended"),
+    )
+
+
+def oracle_sessionize_sql(gap_minutes: int = 30) -> str:
+    return f"""
+flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                   OR epoch(ts) - epoch(prev_ts) > {gap_minutes * 60}
+            THEN 1 ELSE 0 END AS _new
+  FROM (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events)
+),
+sess AS (
+  SELECT *, sum(_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx, count(*) AS n_events,
+       min(ts) AS started, max(ts) AS ended
+FROM sess GROUP BY user_id, session_idx"""
+
+
+def top_users_by_value(events: DataFrame, per_type: int = 3) -> DataFrame:
+    """Per event_type: top-N users by total value (window rank).
+    Rounded total for hash stability, rank on the rounded value with
+    user_id tiebreak so both engines agree on order."""
+    totals = events.groupBy("event_type", "user_id").agg(
+        F.round(F.sum("value"), 3).alias("total_value")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("total_value").desc(), F.col("user_id").asc()
+    )
+    return (
+        totals.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= per_type)
+        .select("event_type", "user_id", "total_value", "rank")
+    )
+
+
+def oracle_top_users_sql(per_type: int = 3) -> str:
+    return f"""
+totals AS (
+  SELECT event_type, user_id, round(sum(value), 3) AS total_value
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, user_id, total_value, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY total_value DESC, user_id) AS rank
+  FROM totals
+) WHERE rank <= {per_type}"""

@@ -1,0 +1,136 @@
+"""Pack/unpack between the interleaved-document substrate and the
+SGID-shaped relations.
+
+BASELINE.json `input_hint`: the engine's canonical input is an Iceberg
+table `documents(doc_id string, spans array<struct<kind,text,media_ref,
+offset>>)`. Road and address-point records ride inside spans:
+  kind='road'|'addrpnt'  text=JSON attribute payload
+  kind='media'           media_ref=the WKT geometry blob ref
+Offsets strictly increase within a doc; the per-row invariant vs the
+reference is span-sequence equality (kind, text, media_ref, order).
+
+Pack groups `group_size` records per document (doc_id = kind prefix +
+floor(objectid / group_size)); each record contributes an attribute span
+at offset 2*i and a media span at 2*i+1 — a genuinely interleaved layout.
+
+All of it is built-ins: to_json/from_json, collect_list + array_sort (the
+sort restores deterministic span order after the shuffle), explode. At
+scale the pack is one hash aggregate keyed by doc_id; unpack is a narrow
+map — no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from ..schemas import ADDRPNTS_SCHEMA, ROADS_SCHEMA
+
+#: JSON payload schema = relation schema minus the geometry blob ref
+_ROADS_PAYLOAD = StructType([f for f in ROADS_SCHEMA.fields if f.name != "geometry"])
+_ADDRPNTS_PAYLOAD = ADDRPNTS_SCHEMA
+
+
+def _pack(df: DataFrame, kind: str, payload_cols: list[str], media_col, group_size: int) -> DataFrame:
+    rec = F.to_json(F.struct(*[F.col(c) for c in payload_cols]))
+    idx = (F.col("objectid") % group_size).cast("int")
+    # offset leads the staging struct so array_sort orders spans by offset;
+    # re-projected to the canonical (kind, text, media_ref, offset) after.
+    spans = F.array(
+        F.struct(
+            (idx * 2).alias("offset"),
+            F.lit(kind).alias("kind"),
+            rec.alias("text"),
+            F.lit("").alias("media_ref"),
+        ),
+        F.struct(
+            (idx * 2 + 1).alias("offset"),
+            F.lit("media").alias("kind"),
+            F.lit("").alias("text"),
+            media_col.alias("media_ref"),
+        ),
+    )
+    doc_id = F.concat(
+        F.lit(kind + "-"), F.floor(F.col("objectid") / group_size).cast("string")
+    )
+    return (
+        df.select(doc_id.alias("doc_id"), F.explode(spans).alias("span"))
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(span)), "
+                "s -> struct(s.kind AS kind, s.text AS text, "
+                "s.media_ref AS media_ref, s.offset AS offset))"
+            ).alias("spans")
+        )
+    )
+
+
+def pack_documents(
+    roads: DataFrame, addrpnts: DataFrame, group_size: int = 16
+) -> DataFrame:
+    """Interleaved span-document table from the two relations."""
+    r = _pack(
+        roads,
+        "road",
+        [f.name for f in _ROADS_PAYLOAD.fields],
+        F.col("geometry"),
+        group_size,
+    )
+    p = _pack(
+        addrpnts,
+        "addrpnt",
+        [f.name for f in _ADDRPNTS_PAYLOAD.fields],
+        F.concat(
+            F.lit("POINT ("),
+            F.col("px").cast("string"),
+            F.lit(" "),
+            F.col("py").cast("string"),
+            F.lit(")"),
+        ),
+        group_size,
+    )
+    return r.unionByName(p)
+
+
+def _unpack(docs: DataFrame, kind: str, payload: StructType) -> DataFrame:
+    attr = (
+        docs.select(F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == kind)
+        .select(F.from_json(F.col("s.text"), payload).alias("r"))
+        .select("r.*")
+    )
+    return attr
+
+
+def unpack_roads(docs: DataFrame) -> DataFrame:
+    """documents → roads relation (media span re-joined as `geometry`).
+
+    The media span carrying the WKT lives at offset = attr offset + 1 in
+    the same doc; rebuild geometry by pairing spans within the doc — a
+    JVM-side array zip, no shuffle."""
+    paired = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "filter(transform(spans, (s, i) -> "
+                "CASE WHEN s.kind <> 'media' THEN "
+                "struct(s.kind AS kind, s.text AS text, "
+                "element_at(spans, i + 2).media_ref AS media_ref) END), "
+                "x -> x IS NOT NULL)"
+            )
+        ).alias("s"),
+    )
+    return (
+        paired.filter(F.col("s.kind") == "road")
+        .select(
+            F.from_json(F.col("s.text"), _ROADS_PAYLOAD).alias("r"),
+            F.col("s.media_ref").alias("geometry"),
+        )
+        .select("r.*", "geometry")
+    )
+
+
+def unpack_addrpnts(docs: DataFrame) -> DataFrame:
+    return _unpack(docs, "addrpnt", _ADDRPNTS_PAYLOAD)

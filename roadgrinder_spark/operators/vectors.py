@@ -1,0 +1,172 @@
+"""Similarity search over the embeddings table (array<float> column).
+
+Two paths per the brief:
+  brute-force cosine top-k — the exactness baseline. JVM-side sequential
+    fold (aggregate over zip_with) so the oracle (DuckDB list_ functions,
+    also sequential) accumulates in the same order; ranks computed on
+    round(cos, 6) with vec_id tiebreak to absorb any last-ulp drift.
+  IVF (inverted-file) top-k — the scale path: deterministic centroid set
+    (every stride-th vector), assign each vector to its nearest centroid,
+    probe the query's nprobe nearest centroid lists only. Approximate →
+    rows-only driver check + pytest recall test vs brute force.
+
+Scale notes: brute force is O(Q·N) — fine for reranking small candidate
+sets, not for N=10^9. IVF buckets the corpus by centroid id (one shuffle),
+then the query×bucket join fans out only to nprobe buckets. The numpy
+mapInPandas kernel does the per-bucket matmul in Arrow batches.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+_NORM = "sqrt(aggregate({a}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+
+
+def cosine_expr(a: str, b: str) -> F.Column:
+    dot = _DOT.format(a=a, b=b)
+    na = _NORM.format(a=a)
+    nb = _NORM.format(a=b)
+    return F.expr(f"({dot}) / (({na}) * ({nb}))")
+
+
+def brute_force_topk(
+    embeddings: DataFrame, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """Exact cosine top-k of every corpus vector for the first `n_queries`
+    vec_ids (self-match excluded). Returns (query_id, neighbor_id, rank,
+    cos) with cos rounded to 6 dp and rank computed on the rounded value.
+    """
+    q = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = (
+        embeddings.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_expr("q_emb", "embedding"), 6).alias("cos"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def oracle_brute_force_topk_sql(n_queries: int = 10, k: int = 5) -> str:
+    """DuckDB oracle: same sequential-fold dot product via list_aggregate-
+    free explicit recursion is unavailable — use list_dot_product /
+    list_cosine_similarity (sequential over the list) and round to 6 dp.
+    """
+    return f"""
+q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < {n_queries}),
+pairs AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS cos
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, rank, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM pairs
+) WHERE rank <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# IVF (scale path) — numpy kernels in mapInPandas / applyInPandas
+# ---------------------------------------------------------------------------
+
+def _assign_numpy(emb: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Nearest centroid by cosine (batch matmul)."""
+    e = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+    c = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    return np.argmax(e @ c.T, axis=1).astype(np.int64)
+
+
+def ivf_topk(
+    spark_embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate cosine top-k: IVF with deterministic centroids (every
+    N/n_centroids-th vector by vec_id). One shuffle to bucket the corpus;
+    queries probe their nprobe nearest centroid buckets; exact rerank
+    inside buckets via numpy matmul in applyInPandas.
+    """
+    n_total = spark_embeddings.count()
+    stride = max(1, n_total // n_centroids)
+    cent_rows = (
+        spark_embeddings.filter((F.col("vec_id") % stride == 0))
+        .orderBy("vec_id")
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
+    bc = spark_embeddings.sparkSession.sparkContext.broadcast(cents)
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    assign_schema = StructType(
+        [StructField("vec_id", LongType()), StructField("centroid", LongType())]
+    )
+
+    def assign_batches(batches):
+        for pdf in batches:
+            emb = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            cent = _assign_numpy(emb, bc.value) if len(pdf) else np.array([], np.int64)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"].values, "centroid": cent})
+
+    assigned = spark_embeddings.mapInPandas(assign_batches, schema=assign_schema)
+    corpus = spark_embeddings.join(assigned, "vec_id")
+
+    # queries → their nprobe nearest centroids (tiny, driver-side math)
+    q_rows = (
+        spark_embeddings.filter(F.col("vec_id") < n_queries).orderBy("vec_id").collect()
+    )
+    probe_pairs = []
+    for r in q_rows:
+        qv = np.array(r["embedding"], dtype=np.float64)
+        qn = qv / max(np.linalg.norm(qv), 1e-12)
+        cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(cn @ qn))
+        for c in order[:nprobe]:
+            probe_pairs.append((int(r["vec_id"]), int(c)))
+    probes = spark_embeddings.sparkSession.createDataFrame(
+        probe_pairs, "query_id long, centroid long"
+    )
+    q = spark_embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    cand = (
+        corpus.join(probes, "centroid")
+        .join(F.broadcast(q), "query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_expr("q_emb", "embedding"), 6).alias("cos"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )

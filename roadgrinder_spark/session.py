@@ -9,8 +9,30 @@ for every pandas_udf / applyInPandas stage.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make roadgrinder_spark importable on executors (the local-mode
+    analogue of `spark-submit --py-files roadgrinder_spark.zip`).
+
+    Python workers are separate processes that do not inherit the driver's
+    sys.path; pandas_udf / mapInPandas closures reference this package by
+    module, so it must ship. Idempotent per session."""
+    import zipfile
+    from pathlib import Path
+
+    if getattr(spark, "_rg_pkg_shipped", False):
+        return
+    pkg_root = Path(__file__).resolve().parent
+    ztmp = Path(tempfile.gettempdir()) / "roadgrinder_spark_pkg.zip"
+    with zipfile.ZipFile(ztmp, "w") as z:
+        for py in sorted(pkg_root.rglob("*.py")):
+            z.write(py, arcname=str(Path("roadgrinder_spark") / py.relative_to(pkg_root)))
+    spark.sparkContext.addPyFile(str(ztmp))
+    spark._rg_pkg_shipped = True
 
 
 def build_session(
@@ -44,4 +66,6 @@ def build_session(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    ship_package(spark)
+    return spark

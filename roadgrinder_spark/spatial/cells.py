@@ -1,0 +1,206 @@
+"""Deterministic planar grid-cell index (H3/S2 stand-in, J5 substrate).
+
+No H3/S2 native lib exists in this environment, and the north rule only
+needs a *deterministic, reproducible-across-cluster-sizes* cell id. We use
+a square grid over projected meters (NAD83/UTM-style coords):
+
+    cx = floor(x / cell_size),  cy = floor(y / cell_size)
+    cell_id = cx * 2^26 + cy            (packed BIGINT)
+
+Properties that matter:
+  * pure integer arithmetic → bit-identical across engines, parallelism
+    levels, and cluster sizes (tile-parity requirement, BASELINE.json);
+  * SQL-expressible → every tile assignment is DuckDB-oracle checkable;
+  * resolution ladder: halving cell_size = one finer level (quadtree).
+
+Candidate-generation guarantee used by the kNN join: if cell_size >= R
+(match radius), any point within R of a segment lies in the segment's
+bbox cover dilated by ring=1. Proof sketch: the point's cell center is
+within R + cell diagonal of the segment's bbox, and one ring covers any
+offset < cell_size in each axis.
+
+Segment cover here is *bbox cover* via built-in sequence()/explode — pure
+JVM whole-stage-codegen, no Python in the hot path. Road substrates are
+pre-split into short segments (SGID centerlines are; ours are <=150 m), so
+bbox cover is at most ~(2+2r)^2 cells. For long diagonal geometries use
+`supercover_cells_udf` (vectorized numpy pandas_udf) instead — O(cells
+touched), not O(bbox area).
+
+Reference parity note: the reference has NO spatial join (the NextGen
+grinder throws, grinders/NextGenGrinder.cs:6-17); this layer implements
+the capability BASELINE.json `north_star` mandates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+#: 2^26 cells per axis — at 31.25 m resolution that spans ±2097 km, far
+#: beyond any single projected CRS zone. cy must be < 2^26 and >= 0.
+PACK = 1 << 26
+
+#: default grid resolution (m). >= default match radius (100 m) so the
+#: ring=1 cover guarantee holds.
+DEFAULT_CELL_SIZE = 125.0
+
+
+def cell_xy(x: Column, y: Column, cell_size: float) -> tuple[Column, Column]:
+    return (
+        F.floor(x / F.lit(float(cell_size))).cast("long"),
+        F.floor(y / F.lit(float(cell_size))).cast("long"),
+    )
+
+
+def pack_cell(cx: Column, cy: Column) -> Column:
+    return (cx * F.lit(PACK) + cy).cast("long")
+
+
+def point_cell(x: Column, y: Column, cell_size: float = DEFAULT_CELL_SIZE) -> Column:
+    """Tile assignment for a point — the `tiles` parity column."""
+    cx, cy = cell_xy(x, y, cell_size)
+    return pack_cell(cx, cy)
+
+
+def point_cell_sql(x: str, y: str, cell_size: float = DEFAULT_CELL_SIZE) -> str:
+    """DuckDB/ANSI spelling of point_cell (for oracle SQL)."""
+    return (
+        f"CAST(FLOOR({x} / {cell_size}) AS BIGINT) * {PACK} "
+        f"+ CAST(FLOOR({y} / {cell_size}) AS BIGINT)"
+    )
+
+
+def segment_bbox_cover(
+    df: DataFrame,
+    cell_size: float = DEFAULT_CELL_SIZE,
+    ring: int = 1,
+    x1: str = "x1",
+    y1: str = "y1",
+    x2: str = "x2",
+    y2: str = "y2",
+    out: str = "cell",
+) -> DataFrame:
+    """Explode each segment row into one row per covered cell (+ring).
+
+    Pure built-in expressions: sequence() over the bbox cell ranges,
+    exploded twice. Stays inside whole-stage codegen; Catalyst prunes and
+    pushes the rest of the plan around it.
+    """
+    s = float(cell_size)
+    cx_lo = F.floor(F.least(F.col(x1), F.col(x2)) / s).cast("long") - ring
+    cx_hi = F.floor(F.greatest(F.col(x1), F.col(x2)) / s).cast("long") + ring
+    cy_lo = F.floor(F.least(F.col(y1), F.col(y2)) / s).cast("long") - ring
+    cy_hi = F.floor(F.greatest(F.col(y1), F.col(y2)) / s).cast("long") + ring
+    return (
+        df.withColumn("_cx", F.explode(F.sequence(cx_lo, cx_hi)))
+        .withColumn("_cy", F.explode(F.sequence(cy_lo, cy_hi)))
+        .withColumn(out, pack_cell(F.col("_cx"), F.col("_cy")))
+        .drop("_cx", "_cy")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vectorized numpy kernels (Arrow pandas_udf) — the long-segment path and
+# the locality (Morton) key. No per-row Python: everything is ndarray ops.
+# ---------------------------------------------------------------------------
+
+def _morton_interleave(cx: np.ndarray, cy: np.ndarray) -> np.ndarray:
+    """Interleave low 26 bits of cx/cy → Z-order key (locality clustering)."""
+
+    def spread(v: np.ndarray) -> np.ndarray:
+        v = v.astype(np.uint64) & np.uint64((1 << 26) - 1)
+        v = (v | (v << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+        v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+        v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        v = (v | (v << np.uint64(2))) & np.uint64(0x3333333333333333)
+        v = (v | (v << np.uint64(1))) & np.uint64(0x5555555555555555)
+        return v
+
+    return (spread(cx) | (spread(cy) << np.uint64(1))).astype(np.int64)
+
+
+@F.pandas_udf(LongType())
+def morton_cell_udf(cx: pd.Series, cy: pd.Series) -> pd.Series:
+    """Z-order locality key from cell coords — use as a repartition /
+    Iceberg sort key so spatially-near cells land in the same files."""
+    return pd.Series(_morton_interleave(cx.to_numpy(np.int64), cy.to_numpy(np.int64)))
+
+
+def supercover_numpy(
+    x1: np.ndarray,
+    y1: np.ndarray,
+    x2: np.ndarray,
+    y2: np.ndarray,
+    cell_size: float,
+    ring: int = 0,
+) -> list[np.ndarray]:
+    """Exact grid supercover (cells a segment passes through), vectorized.
+
+    Parameterize each segment by t∈[0,1]; every cell-boundary crossing in
+    x or y contributes a t value. The cell between two consecutive
+    crossings is the cell of the interval midpoint — exactly the set of
+    cells the segment intersects. All math is padded (n, max_crossings)
+    ndarray ops; the only per-row work is the final unique-split.
+    """
+    n = len(x1)
+    dx, dy = x2 - x1, y2 - y1
+    cx1 = np.floor(x1 / cell_size).astype(np.int64)
+    cx2 = np.floor(x2 / cell_size).astype(np.int64)
+    cy1 = np.floor(y1 / cell_size).astype(np.int64)
+    cy2 = np.floor(y2 / cell_size).astype(np.int64)
+    nx = np.abs(cx2 - cx1)
+    ny = np.abs(cy2 - cy1)
+    max_nx = int(nx.max()) if n else 0
+    max_ny = int(ny.max()) if n else 0
+
+    def crossings(c_lo, count, p1, dp, max_count):
+        if max_count == 0:
+            return np.full((n, 0), 1.0)
+        ks = np.arange(1, max_count + 1, dtype=np.float64)[None, :]
+        bounds = (c_lo[:, None] + ks) * cell_size
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (bounds - p1[:, None]) / dp[:, None]
+        t = np.where(ks <= count[:, None], t, 1.0)  # pad -> degenerate
+        return np.nan_to_num(t, nan=1.0, posinf=1.0, neginf=1.0)
+
+    tx = crossings(np.minimum(cx1, cx2), nx, x1, dx, max_nx)
+    ty = crossings(np.minimum(cy1, cy2), ny, y1, dy, max_ny)
+    ends = np.tile(np.array([[0.0, 1.0]]), (n, 1))
+    ts = np.sort(np.concatenate([ends, tx, ty], axis=1), axis=1)
+    ts = np.clip(ts, 0.0, 1.0)
+    mid = (ts[:, :-1] + ts[:, 1:]) / 2.0
+    sx = x1[:, None] + mid * dx[:, None]
+    sy = y1[:, None] + mid * dy[:, None]
+    cx = np.floor(sx / cell_size).astype(np.int64)
+    cy = np.floor(sy / cell_size).astype(np.int64)
+    if ring:
+        offs = np.arange(-ring, ring + 1, dtype=np.int64)
+        ox, oy = np.meshgrid(offs, offs)
+        cx = (cx[:, :, None] + ox.ravel()[None, None, :]).reshape(n, -1)
+        cy = (cy[:, :, None] + oy.ravel()[None, None, :]).reshape(n, -1)
+    packed = cx * PACK + cy
+    out: list[np.ndarray] = []
+    for i in range(n):  # O(rows) unique-split; heavy math above is batched
+        out.append(np.unique(packed[i]))
+    return out
+
+
+def supercover_cells_udf(cell_size: float, ring: int = 0):
+    """pandas_udf: (x1,y1,x2,y2) -> array<long> of covered cell ids."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _cover(x1: pd.Series, y1: pd.Series, x2: pd.Series, y2: pd.Series) -> pd.Series:
+        cells = supercover_numpy(
+            x1.to_numpy(np.float64),
+            y1.to_numpy(np.float64),
+            x2.to_numpy(np.float64),
+            y2.to_numpy(np.float64),
+            cell_size,
+            ring,
+        )
+        return pd.Series(cells)
+
+    return _cover

@@ -1,0 +1,132 @@
+"""Training-pipeline operators: dedup families, text analysis, ANN,
+events — DuckDB parity where exact, behavioral oracles where approximate."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from roadgrinder_spark.functions import text as T
+from roadgrinder_spark.operators import dedup, events, vectors
+
+from .conftest import SF_DIR, assert_frames_match
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def evts(spark):
+    return spark.read.parquet(f"{SF_DIR}/events.parquet").cache()
+
+
+def test_dedup_exact_oracle(spark, duck, docs):
+    assert_frames_match(dedup.dedup_exact(docs), duck.sql(dedup.ORACLE_DEDUP_EXACT).df())
+
+
+def test_dedup_exact_finds_planted_dupes(spark, docs):
+    """Plant 3 copies of one text; keeper is the min doc_id."""
+    dup = docs.limit(1).select((F.col("doc_id") + 10000).alias("doc_id"), "text",
+                               "lang", "source", "n_chars")
+    dup2 = docs.limit(1).select((F.col("doc_id") + 20000).alias("doc_id"), "text",
+                                "lang", "source", "n_chars")
+    planted = docs.unionByName(dup).unionByName(dup2)
+    out = dedup.dedup_exact(planted).filter("n_copies > 1").collect()
+    assert len(out) == 1 and out[0]["n_copies"] == 3
+    assert out[0]["keeper_doc_id"] == docs.limit(1).collect()[0]["doc_id"]
+
+
+def test_ngram_jaccard_oracle(spark, duck, docs):
+    assert_frames_match(
+        dedup.ngram_jaccard_pairs(docs, threshold=0.25),
+        duck.sql("WITH " + dedup.oracle_ngram_jaccard_sql(threshold=0.25).strip()).df(),
+    )
+
+
+def test_minhash_estimates_track_true_jaccard(spark, docs):
+    """For every LSH-surfaced pair, |est - true jaccard| <= 0.25 (64 perms
+    -> s.e. ~0.06; 4 s.e. tolerance), and identical docs estimate 1.0."""
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.3).toPandas()
+    true = dedup.ngram_jaccard_pairs(docs, threshold=0.0, max_df=10**9).toPandas()
+    true["j"] = true["inter_n"] / true["union_n"]
+    merged = pairs.merge(true, on=["doc_a", "doc_b"], how="left").fillna(0.0)
+    assert len(merged) > 0
+    assert (abs(merged["est_jaccard"] - merged["j"]) <= 0.25).all()
+    # identical docs -> est 1.0
+    two = docs.limit(1)
+    clone = two.select((F.col("doc_id") + 99999).alias("doc_id"), "text", "lang",
+                       "source", "n_chars")
+    got = dedup.minhash_lsh_pairs(two.unionByName(clone), threshold=0.9).collect()
+    assert len(got) == 1 and got[0]["est_jaccard"] == 1.0
+
+
+def test_simhash_identical_docs_zero_hamming(spark, docs):
+    one = docs.limit(1)
+    clone = one.select((F.col("doc_id") + 99999).alias("doc_id"), "text", "lang",
+                       "source", "n_chars")
+    got = dedup.simhash_near_pairs(one.unionByName(clone), max_hamming=0).collect()
+    assert len(got) == 1 and got[0]["hamming"] == 0
+
+
+def test_text_stats_oracle(spark, duck, docs):
+    sdf = docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        T.lang_id(F.col("text")).alias("lang_pred"),
+        F.round(T.quality_score(F.col("text")), 6).alias("quality"),
+    )
+    osql = (
+        f"SELECT doc_id, {T.token_count_sql('text')} AS n_tokens, "
+        f"{T.lang_id_sql('text')} AS lang_pred, "
+        f"round({T.quality_score_sql('text')}, 6) AS quality FROM documents"
+    )
+    assert_frames_match(sdf, duck.sql(osql).df())
+
+
+def test_token_count_edges(spark):
+    df = spark.createDataFrame(
+        [("",), ("  ",), ("one",), (" a  b \t c ",)], "text string"
+    )
+    got = [r[0] for r in df.select(T.token_count(F.col("text"))).collect()]
+    assert got == [0, 0, 1, 3]
+
+
+def test_fingerprint_shift_invariance(spark):
+    """Winnowed fingerprints of a doc and the same doc with a prefix share
+    most of the fingerprint set (the rolling-hash locality property)."""
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    df = spark.createDataFrame([(base,), ("PREFIX " + base,)], "text string")
+    fps = [set(r[0]) for r in df.select(T.winnow_fingerprints("text")).collect()]
+    inter = len(fps[0] & fps[1])
+    union = len(fps[0] | fps[1])
+    assert inter / union > 0.8
+
+
+def test_ann_brute_oracle(spark, duck):
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    assert_frames_match(
+        vectors.brute_force_topk(embs),
+        duck.sql("WITH " + vectors.oracle_brute_force_topk_sql().strip()).df(),
+    )
+
+
+def test_ivf_recall_reasonable(spark):
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    bf = {(r.query_id, r.neighbor_id) for r in vectors.brute_force_topk(embs).collect()}
+    iv = {(r.query_id, r.neighbor_id) for r in vectors.ivf_topk(embs).collect()}
+    assert len(bf & iv) / len(bf) >= 0.4  # random embeddings, nprobe=4/16
+
+
+def test_events_oracles(spark, duck, evts):
+    assert_frames_match(events.hourly_rollup(evts), duck.sql(events.ORACLE_HOURLY_ROLLUP).df())
+    assert_frames_match(
+        events.sessionize(evts),
+        duck.sql("WITH " + events.oracle_sessionize_sql().strip()).df(),
+    )
+    assert_frames_match(
+        events.top_users_by_value(evts),
+        duck.sql("WITH " + events.oracle_top_users_sql().strip()).df(),
+    )
