@@ -29,6 +29,8 @@ from roadgrinder_spark.operators import dedup, events, media, spans, vectors
 from roadgrinder_spark.operators import roadgrinder as rg
 from roadgrinder_spark.spatial import cells as sc
 from roadgrinder_spark.spatial import join as sj
+from roadgrinder_spark.spatial import pip as sp
+from roadgrinder_spark.spatial import raster as sr
 
 _DOC_TABLES = ("documents", "events", "embeddings")
 
@@ -119,6 +121,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["geocode_match"] = lambda s, d: sj.geocode_match(
         _pnts(s, d), rg.explode_aliases(_roads(s, d)).geocode_roads
     )
+    q["point_in_polygon"] = lambda s, d: (
+        ship_package(s), sp.pip_join(_pnts(s, d), sp.derive_zones(s, d))
+    )[1]
+    q["rasterize_points"] = lambda s, d: sr.rasterize_points(_pnts(s, d))
+    q["raster_to_vector"] = lambda s, d: sr.raster_to_vector(
+        sr.rasterize_points(_pnts(s, d))
+    )
+    q["validation_counts"] = lambda s, d: rg.validation_counts(
+        _roads(s, d), _pnts(s, d)
+    )
 
     # -- dedup family -------------------------------------------------------
     q["dedup_exact"] = lambda s, d: dedup.dedup_exact(_docs(s, d))
@@ -201,6 +213,10 @@ def oracle_sql() -> dict[str, str]:
     o["spatial_knn3"] = _with(knn3_body, R, P, knn3_ctes)
     o["nearest_road_salted"] = _with(knn1_body, R, P, knn1_ctes)
     o["geocode_match"] = _with(gc_body, R, P, S, gc_ctes)
+    o["point_in_polygon"] = _with(sp.oracle_pip_sql(), P, sp.ZONES_CTE)
+    o["rasterize_points"] = _with(sr.oracle_rasterize_points_sql(), P)
+    o["raster_to_vector"] = _with(sr.oracle_raster_to_vector_sql(), P)
+    o["validation_counts"] = _with(rg.ORACLE_VALIDATION_COUNTS, R, P)
 
     o["dedup_exact"] = dedup.ORACLE_DEDUP_EXACT
     o["ngram_jaccard"] = _with(

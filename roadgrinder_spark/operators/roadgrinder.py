@@ -357,3 +357,59 @@ WHERE NOT EXISTS (
     AND a.PrefixDir <> b.PrefixDir
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# P7/A1 — pre-run null-validation counts
+# ---------------------------------------------------------------------------
+
+def validation_counts(roads: DataFrame, addrpnts: DataFrame) -> DataFrame:
+    """The reference's pre-flight null audits (AlternateNamesGrinder.cs:40-41),
+    INCLUDING its AND/OR precedence quirk: in
+      `CARTOCODE not in (...) and NAME is null or POSTTYPE is null or ...`
+    the CARTOCODE filter binds only to the first disjunct. The roads
+    failure aborts the reference run; the addr-pnts failure only warns
+    (the abort is commented out, :60-61) — we report both counts and leave
+    policy to the caller."""
+    r_bad = (
+        (~F.col("CARTOCODE").isin("1", "7", "99")) & F.col("NAME").isNull()
+    )
+    for c in ["POSTTYPE", "ADDRSYS_L", "ADDRSYS_R", "PREDIR", "POSTDIR",
+              "A1_NAME", "A1_POSTTYPE", "A2_NAME", "A2_POSTTYPE",
+              "AN_NAME", "AN_POSTDIR"]:
+        r_bad = r_bad | F.col(c).isNull()
+    p_bad = F.col("AddNum").isNull()
+    for c in ["PrefixDir", "StreetName", "StreetType", "SuffixDir", "AddNumSuffix"]:
+        p_bad = p_bad | F.col(c).isNull()
+    r = roads.filter(r_bad).select(
+        F.lit("roads").alias("relation")
+    ).groupBy("relation").agg(F.count(F.lit(1)).alias("n_bad"))
+    p = addrpnts.filter(p_bad).select(
+        F.lit("addrpnts").alias("relation")
+    ).groupBy("relation").agg(F.count(F.lit(1)).alias("n_bad"))
+    # emit zero rows too (groupBy of empty filter yields nothing)
+    base = roads.sparkSession.createDataFrame(
+        [("roads",), ("addrpnts",)], "relation string"
+    )
+    return (
+        base.join(r.unionByName(p), "relation", "left")
+        .select("relation", F.coalesce(F.col("n_bad"), F.lit(0)).alias("n_bad"))
+    )
+
+
+ORACLE_VALIDATION_COUNTS = """
+SELECT 'roads' AS relation, (
+  SELECT count(*) FROM roads
+  WHERE CARTOCODE NOT IN ('1','7','99') AND NAME IS NULL
+     OR POSTTYPE IS NULL OR ADDRSYS_L IS NULL OR ADDRSYS_R IS NULL
+     OR PREDIR IS NULL OR POSTDIR IS NULL OR A1_NAME IS NULL
+     OR A1_POSTTYPE IS NULL OR A2_NAME IS NULL OR A2_POSTTYPE IS NULL
+     OR AN_NAME IS NULL OR AN_POSTDIR IS NULL
+) AS n_bad
+UNION ALL
+SELECT 'addrpnts', (
+  SELECT count(*) FROM addrpnts
+  WHERE AddNum IS NULL OR PrefixDir IS NULL OR StreetName IS NULL
+     OR StreetType IS NULL OR SuffixDir IS NULL OR AddNumSuffix IS NULL
+)
+"""

@@ -1,0 +1,129 @@
+"""Point-in-polygon (J5 family, north rule: "point-in-polygon").
+
+Zones are polygon rings (array<struct<x,y>>, closed). Two paths:
+  * engine: broadcast the zone dimension, evaluate a vectorized numpy
+    ray-cast over Arrow batches (mapInPandas) — works for ARBITRARY
+    simple polygons; each batch tests all points against all zone
+    vertices in one (points × vertices) ndarray pass.
+  * oracle: the derived test zones are axis-aligned rectangles, so the
+    same answer is expressible as BETWEEN filters in DuckDB — which
+    cross-checks the ray-cast kernel end-to-end.
+
+Zone bounds sit on odd multiples of 3.125 while point coordinates are
+multiples of 6.25, so no point ever lies exactly on a boundary and the
+ray-cast's half-open semantics agree with BETWEEN.
+
+Scale: zones are a dimension table (thousands of rows) → broadcast; the
+fact side streams through mapInPandas with no shuffle. For zone sets too
+large to broadcast, pre-cover zones with grid cells (spatial/cells) and
+cell-join first — same pattern as knn_join.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+#: zones derived from `nation` (25 rows): one rectangle per nation key,
+#: laid out on a 5x5 grid of 10 km squares with 3.125 m inset.
+ZONES_CTE = """
+zones AS (
+  SELECT
+    n_nationkey AS zone_id,
+    n_name AS zone_name,
+    CAST(400000 + (n_nationkey % 5) * 10000 AS DOUBLE) + 3.125 AS x_min,
+    CAST(400000 + (n_nationkey % 5) * 10000 + 10000 AS DOUBLE) - 3.125 AS x_max,
+    CAST(4500000 + CAST(FLOOR(n_nationkey / 5) AS BIGINT) * 10000 AS DOUBLE) + 3.125 AS y_min,
+    CAST(4500000 + CAST(FLOOR(n_nationkey / 5) AS BIGINT) * 10000 + 10000 AS DOUBLE) - 3.125 AS y_max
+  FROM nation
+)
+"""
+
+
+def derive_zones(spark, sf_dir: str) -> DataFrame:
+    """Zone rectangles + their closed rings (ring built Spark-side; the
+    oracle only needs the min/max columns)."""
+    spark.read.parquet(f"{sf_dir}/nation.parquet").createOrReplaceTempView("nation")
+    rect = spark.sql(f"WITH {ZONES_CTE.strip().strip(',')} SELECT * FROM zones")
+    ring = F.array(
+        F.struct(F.col("x_min").alias("x"), F.col("y_min").alias("y")),
+        F.struct(F.col("x_max").alias("x"), F.col("y_min").alias("y")),
+        F.struct(F.col("x_max").alias("x"), F.col("y_max").alias("y")),
+        F.struct(F.col("x_min").alias("x"), F.col("y_max").alias("y")),
+        F.struct(F.col("x_min").alias("x"), F.col("y_min").alias("y")),
+    )
+    return rect.withColumn("ring", ring)
+
+
+def ray_cast_numpy(
+    px: np.ndarray, py: np.ndarray, ring_x: np.ndarray, ring_y: np.ndarray
+) -> np.ndarray:
+    """Vectorized even-odd ray cast: (n_points,) bool for one ring.
+
+    ring_x/ring_y: (n_vertices,) closed ring (first == last). Standard
+    crossing test evaluated for all points at once.
+    """
+    x1, y1 = ring_x[:-1][None, :], ring_y[:-1][None, :]
+    x2, y2 = ring_x[1:][None, :], ring_y[1:][None, :]
+    p_x, p_y = px[:, None], py[:, None]
+    crosses = (y1 > p_y) != (y2 > p_y)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        x_at = x1 + (p_y - y1) * (x2 - x1) / np.where(y2 == y1, 1.0, y2 - y1)
+    hits = crosses & (p_x < x_at)
+    return hits.sum(axis=1) % 2 == 1
+
+
+def pip_join(points: DataFrame, zones: DataFrame) -> DataFrame:
+    """(point_id, zone_id) for every point inside a zone ring.
+
+    Broadcast-dimension pattern: zone rings are collected once (small
+    dim), shipped in the closure, and each Arrow batch of points is
+    tested against every ring in vectorized numpy.
+    """
+    zone_rows = zones.select("zone_id", "ring").collect()
+    rings = [
+        (
+            int(r["zone_id"]),
+            np.array([v["x"] for v in r["ring"]], dtype=np.float64),
+            np.array([v["y"] for v in r["ring"]], dtype=np.float64),
+        )
+        for r in zone_rows
+    ]
+    bc = points.sparkSession.sparkContext.broadcast(rings)
+    schema = StructType(
+        [StructField("point_id", LongType()), StructField("zone_id", LongType())]
+    )
+
+    def test(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            px = pdf["px"].to_numpy(np.float64)
+            py = pdf["py"].to_numpy(np.float64)
+            pid = pdf["point_id"].to_numpy(np.int64)
+            out_p, out_z = [], []
+            for zid, rx, ry in bc.value:  # zones: small dim, not per-row
+                inside = ray_cast_numpy(px, py, rx, ry)
+                out_p.append(pid[inside])
+                out_z.append(np.full(int(inside.sum()), zid, dtype=np.int64))
+            yield pd.DataFrame(
+                {
+                    "point_id": np.concatenate(out_p) if out_p else [],
+                    "zone_id": np.concatenate(out_z) if out_z else [],
+                }
+            )
+
+    pts = points.select(F.col("objectid").alias("point_id"), "px", "py")
+    return pts.mapInPandas(test, schema=schema)
+
+
+def oracle_pip_sql() -> str:
+    """Rect-zone oracle: BETWEEN join (IEJoin in DuckDB)."""
+    return """
+SELECT p.objectid AS point_id, z.zone_id
+FROM addrpnts p JOIN zones z
+  ON p.px > z.x_min AND p.px < z.x_max
+ AND p.py > z.y_min AND p.py < z.y_max"""
