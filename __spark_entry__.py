@@ -29,6 +29,7 @@ from roadgrinder_spark.operators import dedup, events, media, spans, vectors
 from roadgrinder_spark.operators import roadgrinder as rg
 from roadgrinder_spark.spatial import cells as sc
 from roadgrinder_spark.spatial import join as sj
+from roadgrinder_spark.spatial import grouped as sg
 from roadgrinder_spark.spatial import pip as sp
 from roadgrinder_spark.spatial import raster as sr
 
@@ -115,6 +116,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ).select("road_id", "cell")
     q["nearest_road"] = lambda s, d: sj.knn_join(_pnts(s, d), _roads(s, d), k=1)
     q["spatial_knn3"] = lambda s, d: sj.knn_join(_pnts(s, d), _roads(s, d), k=3)
+    q["spatial_knn3_grouped"] = lambda s, d: (
+        ship_package(s), sg.knn_join_grouped(_pnts(s, d), _roads(s, d), k=3)
+    )[1]
+    q["altnames_nopredir_bucketed"] = lambda s, d: rg.altnames_roads_nopredir_bucketed(
+        rg.explode_aliases(_roads(s, d)).scratch
+    )
     q["nearest_road_salted"] = lambda s, d: sj.knn_join(
         _pnts(s, d), _roads(s, d), k=1, salt_threshold=50, n_salt=8
     )
@@ -211,6 +218,8 @@ def oracle_sql() -> dict[str, str]:
     gc_body, gc_ctes = _split_body(sj.oracle_geocode_match_sql())
     o["nearest_road"] = _with(knn1_body, R, P, knn1_ctes)
     o["spatial_knn3"] = _with(knn3_body, R, P, knn3_ctes)
+    o["spatial_knn3_grouped"] = _with(knn3_body, R, P, knn3_ctes)
+    o["altnames_nopredir_bucketed"] = _with(rg.ORACLE_ALTNAMES_NOPREDIR, R, S)
     o["nearest_road_salted"] = _with(knn1_body, R, P, knn1_ctes)
     o["geocode_match"] = _with(gc_body, R, P, S, gc_ctes)
     o["point_in_polygon"] = _with(sp.oracle_pip_sql(), P, sp.ZONES_CTE)

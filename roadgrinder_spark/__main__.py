@@ -1,0 +1,76 @@
+"""spark-submit entrypoint (north_star: "launched via spark-submit
+--py-files").
+
+Usage (local dev also works with plain `python -m roadgrinder_spark`):
+
+  spark-submit --py-files roadgrinder_spark.zip \
+      -m roadgrinder_spark ... # or path to this file
+  python -m roadgrinder_spark --sf-dir /root/testdata/sf0.001 \
+      --output /tmp/rg_out --run-id r1 [--cell-size 125] [--radius 100] \
+      [--salt-threshold N] [--strict-acs]
+
+Runs: derive (or read) the span-document substrate → full grinder
+pipeline with checkpointed stages → prints a one-line JSON metrics
+summary (match rate, throughput, per-stage manifest path).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="roadgrinder_spark")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.001",
+                   help="testdata dir to derive the document substrate from")
+    p.add_argument("--documents", default=None,
+                   help="parquet path of an existing span-document table "
+                        "(overrides --sf-dir derivation)")
+    p.add_argument("--output", required=True, help="output/checkpoint dir")
+    p.add_argument("--run-id", default="run0")
+    p.add_argument("--cell-size", type=float, default=125.0)
+    p.add_argument("--radius", type=float, default=100.0)
+    p.add_argument("--geocode-radius", type=float, default=200.0)
+    p.add_argument("--salt-threshold", type=int, default=None)
+    p.add_argument("--strict-acs", action="store_true")
+    p.add_argument("--master", default=None,
+                   help="override master (default: SPARK_GRAFT_CPUS local)")
+    args = p.parse_args(argv)
+
+    from .plans.pipeline import GrinderConfig, RoadGrinderPipeline
+    from .session import build_session
+
+    spark = build_session(app_name=f"roadgrinder-{args.run_id}", master=args.master)
+    try:
+        if args.documents:
+            docs = spark.read.parquet(args.documents)
+        else:
+            from .datagen import derive_addrpnts, derive_roads
+            from .operators.spans import pack_documents
+
+            docs = pack_documents(
+                derive_roads(spark, args.sf_dir), derive_addrpnts(spark, args.sf_dir)
+            )
+        cfg = GrinderConfig(
+            output_dir=args.output,
+            run_id=args.run_id,
+            cell_size_m=args.cell_size,
+            knn_radius_m=args.radius,
+            geocode_radius_m=args.geocode_radius,
+            salt_threshold=args.salt_threshold,
+            strict_acs=args.strict_acs,
+        )
+        pipe = RoadGrinderPipeline(spark, cfg)
+        pipe.create_output()
+        res = pipe.grind(docs)
+        print(json.dumps({"run_id": args.run_id, "output": args.output,
+                          "metrics": res.metrics}))
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

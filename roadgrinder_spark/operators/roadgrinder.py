@@ -413,3 +413,93 @@ SELECT 'addrpnts', (
      OR StreetType IS NULL OR SuffixDir IS NULL OR AddNumSuffix IS NULL
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# X2 at extreme scale — range-bucketed interval join (SURVEY.md §4 #3)
+# ---------------------------------------------------------------------------
+
+def altnames_roads_nopredir_bucketed(
+    scratch: DataFrame, bucket_size: int = 1000
+) -> DataFrame:
+    """Result-identical to altnames_roads_nopredir, with candidate pairs
+    generated through ADDRESS-RANGE BUCKETS instead of a pure 5-key join.
+
+    When one (addrsys, name, posttype, postdir) key holds millions of
+    rows (continental-scale corpora where a single street signature
+    repeats across a mega-grid), the plain key join's per-key fanout is
+    quadratic. Bucketing each row's address-span [min(F*,T*,low),
+    max(F*,T*,high)] into `bucket_size` intervals makes the join key
+    (5-key + bucket), bounding fanout by co-located ranges. Lossless: any
+    pair satisfying the overlap predicate has intersecting spans, so it
+    shares at least one bucket; each matching pair is counted once via a
+    canonical-bucket guard (no distinct needed on the inner side).
+    """
+    lh = (
+        scratch.withColumn("_low", zero_aware_low(F.col("FROMADDR_L"), F.col("FROMADDR_R")))
+        .withColumn("_high", plain_high(F.col("TOADDR_L"), F.col("TOADDR_R")))
+        .withColumn(
+            "_span_lo",
+            F.least(
+                F.col("FROMADDR_L").cast("long"), F.col("TOADDR_L").cast("long"),
+                F.col("FROMADDR_R").cast("long"), F.col("TOADDR_R").cast("long"),
+                F.col("_low"),
+            ),
+        )
+        .withColumn(
+            "_span_hi",
+            F.greatest(
+                F.col("FROMADDR_L").cast("long"), F.col("TOADDR_L").cast("long"),
+                F.col("FROMADDR_R").cast("long"), F.col("TOADDR_R").cast("long"),
+                F.col("_high"),
+            ),
+        )
+        .withColumn("_rid", F.monotonically_increasing_id())
+    )
+    b = int(bucket_size)
+    bucketed = lh.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(F.floor(F.col("_span_lo") / b), F.floor(F.col("_span_hi") / b))
+        ),
+    )
+    outer_b = bucketed.filter(
+        (F.col("PREDIR") != "") & has_letter(F.col("NAME"))
+    ).alias("o")
+    cand_b = bucketed.alias("c")
+
+    def oc(side: str, name: str) -> F.Column:
+        return F.col(f"{side}.{name}")
+
+    overlap = range_overlap(
+        oc("o", "_low"), oc("o", "_high"),
+        {k: oc("c", k) for k in ("FROMADDR_L", "TOADDR_L", "FROMADDR_R", "TOADDR_R")},
+    ) | range_overlap(
+        oc("c", "_low"), oc("c", "_high"),
+        {k: oc("o", k) for k in ("FROMADDR_L", "TOADDR_L", "FROMADDR_R", "TOADDR_R")},
+    )
+    # canonical bucket: count the pair only in the bucket holding the
+    # higher of the two span_lo values — exactly one per pair
+    canonical = oc("o", "_bucket") == F.floor(
+        F.greatest(oc("o", "_span_lo"), oc("c", "_span_lo")) / b
+    )
+    matched_rids = (
+        outer_b.join(
+            cand_b,
+            (oc("o", "ADDRSYS_L") == oc("c", "ADDRSYS_L"))
+            & (oc("o", "ADDRSYS_R") == oc("c", "ADDRSYS_R"))
+            & (oc("o", "NAME") == oc("c", "NAME"))
+            & (oc("o", "POSTTYPE") == oc("c", "POSTTYPE"))
+            & (oc("o", "POSTDIR") == oc("c", "POSTDIR"))
+            & (oc("o", "PREDIR") != oc("c", "PREDIR"))
+            & (oc("o", "_bucket") == oc("c", "_bucket"))
+            & canonical
+            & overlap,
+            "inner",
+        )
+        .select(oc("o", "_rid").alias("_rid"))
+        .distinct()
+    )
+    outer_rows = lh.filter((F.col("PREDIR") != "") & has_letter(F.col("NAME")))
+    survivors = outer_rows.join(matched_rids, "_rid", "left_anti")
+    return survivors.withColumn("PREDIR", F.lit("")).select(*GEOCODE_ROADS_COLS)

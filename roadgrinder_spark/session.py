@@ -57,10 +57,27 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # sandbox inputs are a handful of small parquet files; the default
+        # 128 MB split packs them into ~10 splits and caps the map-stage
+        # parallelism (joins + partial window sorts live there) far below
+        # core count. 16 MB keeps local[N] saturated; on a real cluster
+        # with many files leave this at default via extra_conf.
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode = one JVM for all tasks: G1's region/concurrent-phase
+        # overhead collapses throughput at 32 concurrent sort/agg tasks
+        # (measured 2x wall, 100% CPU in GC); ParallelGC + off-heap
+        # execution memory restores linear scaling. On a real cluster the
+        # per-executor heap is small enough that either collector works.
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.memory.offHeap.enabled", "true")
+        .config(
+            "spark.memory.offHeap.size",
+            os.environ.get("SPARK_OFFHEAP_MEM", "8g"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

@@ -169,10 +169,29 @@ def knn_join(
     # expression into the join condition where it would be re-evaluated per
     # subtree per pair. WindowGroupLimit prunes to top-k map-side.
     cand = with_dist2(cand)
+    r2 = F.lit(float(radius_m) ** 2)
+    if k == 1:
+        # top-1 as an AGGREGATE: min over struct(dist2, road_id) — hash
+        # aggregate with map-side partial combine. Avoids sorting the full
+        # candidate set (the window path sorts every candidate row even
+        # with WindowGroupLimit) and shuffles ~1 row per point. Struct
+        # comparison is field-lexicographic = the window's orderBy.
+        best = (
+            cand.groupBy("point_id", "cell")
+            .agg(F.min(F.struct("dist2", "road_id")).alias("b"))
+            .filter(F.col("b.dist2") <= r2)
+        )
+        return best.select(
+            "point_id",
+            F.col("b.road_id").alias("road_id"),
+            F.lit(1).alias("rank"),
+            F.col("b.dist2").alias("dist2"),
+            "cell",
+        )
     w = Window.partitionBy("point_id").orderBy(F.col("dist2").asc(), F.col("road_id").asc())
     return (
         cand.withColumn("rank", F.row_number().over(w))
-        .filter((F.col("rank") <= k) & (F.col("dist2") <= F.lit(float(radius_m) ** 2)))
+        .filter((F.col("rank") <= k) & (F.col("dist2") <= r2))
         .select("point_id", "road_id", "rank", "dist2", "cell")
     )
 
@@ -266,11 +285,20 @@ def geocode_match(
     # and the radius cut happens after the rank (equivalent: the filter
     # commutes with a distance-ordered row_number).
     cand = with_dist2(pts.join(sides, cond, "inner"))
-    w = Window.partitionBy("point_id").orderBy(
-        F.col("dist2").asc(), F.col("GLOBALID_SGID").asc(), F.col("side").asc()
+    # nearest = min over struct(dist2, GLOBALID_SGID, side, <payload>):
+    # hash aggregate (map-side combined), not a sort — same winner as a
+    # row_number window ordered (dist2, gid, side) since struct comparison
+    # is field-lexicographic and payload fields only break exact ties
+    # (identical candidate rows). Radius filter after — it commutes.
+    payload = F.struct(
+        "dist2", "GLOBALID_SGID", "side", "addnum",
+        "addr_from", "addr_to", "x1", "y1", "x2", "y2",
     )
-    best = cand.withColumn("rank", F.row_number().over(w)).filter(
-        (F.col("rank") == 1) & (F.col("dist2") <= F.lit(float(radius_m) ** 2))
+    best = (
+        cand.groupBy("point_id")
+        .agg(F.min(payload).alias("b"))
+        .filter(F.col("b.dist2") <= F.lit(float(radius_m) ** 2))
+        .select("point_id", F.col("b.*"))
     )
     if not with_detail:
         return best.select("point_id", F.col("GLOBALID_SGID").alias("road_gid"), "side")

@@ -185,3 +185,18 @@ class TestQuirks:
         df = spark.createDataFrame(rows, schema=ADDRPNTS_SCHEMA)
         got = rg.altnames_addrpnts(df).collect()
         assert len(got) == 1 and got[0]["AddNum"] == "200"
+
+
+def test_bucketed_x2_equals_plain(spark, roads):
+    """Range-bucketed interval join (scale path) is result-identical,
+    including with a bucket size smaller than typical spans."""
+    out = rg.explode_aliases(roads)
+    a = rg.altnames_roads_nopredir(out.scratch).toPandas()
+    for bucket in (50, 1000):
+        b = rg.altnames_roads_nopredir_bucketed(out.scratch, bucket_size=bucket).toPandas()
+        cols = sorted(a.columns)
+        pd.testing.assert_frame_equal(
+            a[cols].sort_values(cols).reset_index(drop=True),
+            b[cols].sort_values(cols).reset_index(drop=True),
+            check_dtype=False,
+        )

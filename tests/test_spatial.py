@@ -160,3 +160,19 @@ def test_geocode_match_interpolation_detail(spark):
     assert len(det) > 0
     assert ((det["t_addr"] >= 0) & (det["t_addr"] <= 1)).all()
     assert (det["dist2"] <= 200.0**2).all()
+
+
+def test_grouped_knn_equals_column_knn(spark):
+    """applyInPandas refinement path must agree with the codegen path."""
+    from roadgrinder_spark.spatial import grouped as sg
+
+    roads = datagen.derive_roads(spark, SF_DIR)
+    pnts = datagen.derive_addrpnts(spark, SF_DIR)
+    a = sj.knn_join(pnts, roads, k=2).toPandas()
+    b = sg.knn_join_grouped(pnts, roads, k=2).toPandas()
+    cols = sorted(a.columns)
+    pd.testing.assert_frame_equal(
+        a[cols].sort_values(cols).reset_index(drop=True),
+        b[cols].sort_values(cols).reset_index(drop=True),
+        check_exact=True,
+    )
