@@ -157,6 +157,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_fingerprints"] = lambda s, d: _docs(s, d).select(
         "doc_id", T.doc_fingerprint("text").alias("fingerprint")
     )
+    q["token_count_bpe"] = lambda s, d: _docs(s, d).select(
+        "doc_id", T.bpe_ish_token_count(F.col("text")).alias("n_subwords")
+    )
+    q["dedup_embedding"] = lambda s, d: dedup.embedding_near_dups(_embs(s, d))
 
     # -- similarity search --------------------------------------------------
     q["ann_brute_topk"] = lambda s, d: vectors.brute_force_topk(_embs(s, d))
@@ -238,6 +242,11 @@ def oracle_sql() -> dict[str, str]:
         f"round({T.quality_score_sql('text')}, 6) AS quality FROM documents"
     )
     o["ann_brute_topk"] = _with(*_split_body(vectors.oracle_brute_force_topk_sql()))
+    o["token_count_bpe"] = (
+        f"SELECT doc_id, {T.bpe_ish_token_count_sql('text')} AS n_subwords "
+        "FROM documents"
+    )
+    o["dedup_embedding"] = dedup.oracle_embedding_near_dups_sql()
     o["hourly_rollup"] = events.ORACLE_HOURLY_ROLLUP
     o["sessionize"] = _with(*_split_body(events.oracle_sessionize_sql()))
     o["top_users"] = _with(*_split_body(events.oracle_top_users_sql()))

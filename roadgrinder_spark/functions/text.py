@@ -177,3 +177,22 @@ def doc_fingerprint(col_name: str, k: int = 8, window: int = 4) -> Column:
 
 
 _ = (np, pd)  # numpy/pandas kept for future vectorized kernels
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish subword token counting (letters-run | digit-run | punct char) —
+# the pre-tokenizer split most BPE vocabularies start from.
+# ---------------------------------------------------------------------------
+
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    return F.regexp_count(col, F.lit(BPE_ISH_PATTERN)).cast("long")
+
+
+def bpe_ish_token_count_sql(expr: str) -> str:
+    return (
+        rf"CAST(len(regexp_extract_all({expr}, "
+        rf"'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)"
+    )

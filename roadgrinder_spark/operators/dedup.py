@@ -279,3 +279,35 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
         .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-duplicates
+# ---------------------------------------------------------------------------
+
+def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.35) -> DataFrame:
+    """Vector-space near-dup pairs: (id_a < id_b, cos >= threshold).
+
+    Exact all-pairs over the corpus — correct baseline; at 10^9 vectors
+    swap the candidate generation for the IVF buckets in
+    operators/vectors.py (same rerank). cos rounded to 6 dp for
+    engine-portable hashing (see vectors.py notes)."""
+    from .vectors import cosine_expr
+
+    a = embeddings.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
+    b = embeddings.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine_expr("emb_a", "emb_b"), 6).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def oracle_embedding_near_dups_sql(threshold: float = 0.35) -> str:
+    return f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) >= {threshold}"""

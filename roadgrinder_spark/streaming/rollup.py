@@ -73,3 +73,95 @@ def run_available_now(result: DataFrame, query_name: str = "rollup") -> list:
     )
     q.awaitTermination()
     return result.sparkSession.sql(f"SELECT * FROM {query_name}").collect()
+
+
+# ---------------------------------------------------------------------------
+# custom stateful streaming operator: gap sessionization with
+# applyInPandasWithState (timeout-driven session close)
+# ---------------------------------------------------------------------------
+
+def streaming_sessionize(
+    spark: SparkSession, source_dir: str, gap_minutes: int = 30,
+    state_timeout_ms: int = 60_000,
+):
+    """Per-user gap sessions over the event stream, closed via processing-
+    time timeout — the canonical applyInPandasWithState shape. Emits one
+    row per CLOSED session (user_id, n_events, started, ended).
+
+    Note: with ProcessingTimeTimeout the query does NOT self-terminate
+    under trigger(availableNow) — timeouts need further (empty)
+    micro-batches to fire. Callers poll the sink and stop() when the
+    session count stabilizes (see tests) or run continuously in prod."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("started", TimestampType()),
+            StructField("ended", TimestampType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n_events", LongType()),
+            StructField("started_ns", LongType()),
+            StructField("ended_ns", LongType()),
+        ]
+    )
+    gap_ns = gap_minutes * 60 * 1_000_000_000
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd  # noqa: F811 — runs on workers
+
+        (user_id,) = key
+        closed = []
+        if state.hasTimedOut:
+            n, s_ns, e_ns = state.get
+            closed.append((user_id, n, s_ns, e_ns))
+            state.remove()
+        else:
+            n, s_ns, e_ns = (state.get if state.exists else (0, None, None))
+            for pdf in pdfs:
+                ts_ns = pdf["ts"].astype("int64").sort_values()  # epoch ns
+                for t in ts_ns:
+                    t = int(t)
+                    if e_ns is not None and t - e_ns > gap_ns:
+                        closed.append((user_id, n, s_ns, e_ns))
+                        n, s_ns = 0, None
+                    if s_ns is None:
+                        s_ns = t
+                    n += 1
+                    e_ns = t
+            state.update((n, s_ns, e_ns))
+            state.setTimeoutDuration(state_timeout_ms)
+        if closed:
+            df = pd.DataFrame(
+                closed, columns=["user_id", "n_events", "started_ns", "ended_ns"]
+            )
+            yield pd.DataFrame(
+                {
+                    "user_id": df["user_id"],
+                    "n_events": df["n_events"],
+                    "started": pd.to_datetime(df["started_ns"], unit="ns"),
+                    "ended": pd.to_datetime(df["ended_ns"], unit="ns"),
+                }
+            )
+
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(source_dir)
+    )
+    return (
+        stream.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

@@ -29,3 +29,35 @@ def test_stream_rollup_matches_batch_closed_windows(spark, tmp_path_factory):
         assert batch_map[key] == val
     # emitted windows are those older than max(ts) - watermark
     assert len(got) > 0.5 * len(batch_map)
+
+
+def test_stateful_sessionize_matches_batch(spark, tmp_path_factory):
+    """applyInPandasWithState gap sessions: once all state times out, the
+    closed-session set equals the batch sessionize result."""
+    import shutil
+    import time
+
+    from roadgrinder_spark.operators.events import sessionize
+    from roadgrinder_spark.streaming.rollup import streaming_sessionize
+
+    src_dir = tmp_path_factory.mktemp("events_state")
+    shutil.copy(f"{SF_DIR}/events.parquet", src_dir / "part-0.parquet")
+    res = streaming_sessionize(spark, str(src_dir), state_timeout_ms=2000)
+    q = (
+        res.writeStream.format("memory").queryName("sess_state")
+        .outputMode("append").trigger(processingTime="1 second").start()
+    )
+    batch = sessionize(spark.read.parquet(f"{SF_DIR}/events.parquet")).collect()
+    want = {(b["user_id"], b["started"], b["ended"], b["n_events"]) for b in batch}
+    deadline = time.time() + 120
+    got = set()
+    try:
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM sess_state").collect()
+            got = {(r["user_id"], r["started"], r["ended"], r["n_events"]) for r in rows}
+            if len(got) >= len(want):
+                break
+            time.sleep(2)
+    finally:
+        q.stop()
+    assert got == want
