@@ -175,6 +175,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["media_features"] = lambda s, d: (ship_package(s), media.extract_media_features(
         _packed(s, d)
     ).select("doc_id", "media_ref", "width", "height"))[1]
+    q["media_resize"] = lambda s, d: (ship_package(s), media.resize_media(
+        media.extract_media_features(_packed(s, d))
+    ))[1]
+    q["media_frame_sample"] = lambda s, d: (ship_package(s), media.frame_sample(
+        _packed(s, d)
+    ))[1]
 
     return q
 

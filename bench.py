@@ -217,10 +217,51 @@ def run_scaling() -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def run_skew() -> dict:
+    """Hot-cell demonstration (north_star: explicit salting of dense urban
+    grids): clone 0.5M points 20x into one cell's neighborhood (a
+    downtown), then kNN with and without explicit salting. Results are
+    identical; the ratio shows the skew win on top of AQE."""
+    import pyspark.sql.functions as F
+
+    from roadgrinder_spark import datagen
+    from roadgrinder_spark.session import build_session
+    from roadgrinder_spark.spatial import join as sj
+
+    spark = build_session(app_name="rg-skew", master=f"local[{CPUS}]")
+    roads = datagen.derive_roads(spark, SF_DIR).select("objectid", "x1", "y1", "x2", "y2")
+    pnts = datagen.derive_addrpnts(spark, SF_DIR).select("objectid", "px", "py")
+    hot = (
+        pnts.limit(500_000)
+        .withColumn("_m", F.explode(F.sequence(F.lit(0), F.lit(19))))
+        .select(
+            (F.col("objectid") * 100 + F.col("_m") + 10_000_000).alias("objectid"),
+            (F.lit(400050.0) + F.pmod(F.col("objectid"), F.lit(13)) * 7.25).alias("px"),
+            (F.lit(4500050.0) + F.pmod(F.col("objectid"), F.lit(11)) * 8.5).alias("py"),
+        )
+    )
+    skewed = pnts.unionByName(hot).cache()
+    skewed.count()
+    out = {}
+    for label, kw in (("plain", {}), ("salted", dict(salt_threshold=500_000, n_salt=32))):
+        m = sj.knn_join(skewed, roads, k=1, **kw)
+        m.count()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            n = m.count()
+            best = min(best, time.time() - t0)
+        out[label] = {"sec": round(best, 3), "matched": n}
+    out["speedup"] = round(out["plain"]["sec"] / out["salted"]["sec"], 2)
+    spark.stop()
+    return out
+
+
 def main() -> None:
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     suite = run_suite()
     scaling = run_scaling() if RUN_SCALING else {}
+    skew = run_skew() if RUN_SCALING else {}
     total = round(sum(suite["timings"].values()), 3)
     out = {
         "metric": "headline_suite_sec",
@@ -230,6 +271,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "flagship": suite["flagship"],
         "scaling": scaling,
+        "skew": skew,
     }
     print(json.dumps(out))
 

@@ -93,3 +93,40 @@ def extract_media_features(docs: DataFrame, partitions: int | None = None) -> Da
             )
 
     return media.mapInPandas(decode, schema=MEDIA_FEATURES_SCHEMA)
+
+
+def resize_media(features: DataFrame, max_dim: int = 256) -> DataFrame:
+    """Resize plan for decoded media: target dims preserving aspect ratio.
+
+    STUB boundary is the same as _decode_stub — the arithmetic (aspect-
+    preserving clamp) is real and runs JVM-side; a real implementation
+    would feed target dims to the decode kernel."""
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(float(max_dim)) / F.greatest(F.col("width"), F.col("height")),
+    )
+    return features.select(
+        "doc_id",
+        "media_ref",
+        "width",
+        "height",
+        F.ceil(F.col("width") * scale).cast("int").alias("resized_w"),
+        F.ceil(F.col("height") * scale).cast("int").alias("resized_h"),
+    )
+
+
+def frame_sample(docs: DataFrame, fps_num: int = 1, fps_den: int = 10) -> DataFrame:
+    """Frame-sampling plan for video media spans: deterministic frame
+    indices at fps_num/fps_den of the (fake) native rate. The duration
+    comes from the decode stub's metadata (width used as a proxy here —
+    clearly marked fake); the sequence/explode plumbing is the real
+    shape: one output row per sampled frame, computed JVM-side."""
+    media = extract_media_features(docs)
+    n_frames = (F.col("width").cast("long") * fps_num / fps_den).cast("long")
+    return (
+        media.withColumn(
+            "frame_idx",
+            F.explode(F.sequence(F.lit(0), F.greatest(F.lit(0), n_frames - 1))),
+        )
+        .select("doc_id", "media_ref", "frame_idx")
+    )

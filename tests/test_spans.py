@@ -63,3 +63,19 @@ def test_media_features_deterministic_stub(spark, packed):
     ).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
     assert (a["width"] >= 64).all() and (a["features"].map(len) == 16).all()
+
+
+def test_media_resize_and_frame_sample(spark, packed):
+    feats = media.extract_media_features(packed)
+    rs = media.resize_media(feats, max_dim=256).toPandas()
+    assert ((rs["resized_w"] <= 256) & (rs["resized_h"] <= 256)).all()
+    # aspect preserved within ceil rounding
+    import numpy as np
+
+    ratio = rs["width"] / rs["height"]
+    ratio2 = rs["resized_w"] / rs["resized_h"]
+    # ceil rounding on small target dims distorts extreme aspect ratios
+    assert np.allclose(ratio, ratio2, rtol=0.1)
+    fs = media.frame_sample(packed.limit(5))
+    counts = fs.groupBy("media_ref").count().toPandas()
+    assert (counts["count"] >= 1).all()
