@@ -33,15 +33,11 @@ from roadgrinder_spark.spatial import grouped as sg
 from roadgrinder_spark.spatial import pip as sp
 from roadgrinder_spark.spatial import raster as sr
 
-_DOC_TABLES = ("documents", "events", "embeddings")
-
-
 def _with(body: str, *ctes: str) -> str:
-    return "WITH " + ", ".join(c.strip().strip(",") for c in ctes) + " " + body.strip()
-
-
-def _register(spark: SparkSession, sf_dir: str) -> None:
-    datagen.register_source_views(spark, sf_dir)
+    parts = [c.strip().strip(",") for c in ctes if c.strip().strip(",")]
+    if not parts:
+        return body.strip()
+    return "WITH " + ", ".join(parts) + " " + body.strip()
 
 
 def _roads(spark, sf_dir):
@@ -170,6 +166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["hourly_rollup"] = lambda s, d: events.hourly_rollup(_events(s, d))
     q["sessionize"] = lambda s, d: events.sessionize(_events(s, d))
     q["top_users"] = lambda s, d: events.top_users_by_value(_events(s, d))
+    q["events_cube"] = lambda s, d: events.events_cube(_events(s, d))
 
     # -- multimodal (stubbed decode, real plumbing) --------------------------
     q["media_features"] = lambda s, d: (ship_package(s), media.extract_media_features(
@@ -254,6 +251,7 @@ def oracle_sql() -> dict[str, str]:
     )
     o["dedup_embedding"] = dedup.oracle_embedding_near_dups_sql()
     o["hourly_rollup"] = events.ORACLE_HOURLY_ROLLUP
+    o["events_cube"] = events.ORACLE_EVENTS_CUBE
     o["sessionize"] = _with(*_split_body(events.oracle_sessionize_sql()))
     o["top_users"] = _with(*_split_body(events.oracle_top_users_sql()))
     # rows-only (approximate / hash-based / stubbed): minhash_lsh,

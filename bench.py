@@ -203,7 +203,6 @@ def run_scaling() -> dict:
             out[f"local{c}"] = r
         lo4, lo, hi = (results[c]["matched"] / results[c]["sec"] for c in levels)
         out["work_mult"] = WORK_MULT
-        out["efficiency"] = round((lo / lo4) / (SCALE_LOW // (SCALE_LOW // 4)), 3)
         out["efficiency_low_pair"] = round(
             (lo / lo4) / (SCALE_LOW / (SCALE_LOW // 4)), 3
         )

@@ -109,3 +109,23 @@ SELECT event_type, user_id, total_value, rank FROM (
                                ORDER BY total_value DESC, user_id) AS rank
   FROM totals
 ) WHERE rank <= {per_type}"""
+
+
+def events_cube(events: DataFrame) -> DataFrame:
+    """CUBE over (event_type, hour): all grouping-set combinations with
+    count + rounded sum — the multi-dimensional rollup surface (absent in
+    the reference, SURVEY.md §2.4; standard for training-data dashboards).
+    NULL dimension values mark aggregated-out levels in both engines."""
+    return (
+        events.cube(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 3).alias("sum_value"))
+    )
+
+
+ORACLE_EVENTS_CUBE = (
+    "SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n, "
+    "round(sum(value), 3) AS sum_value FROM events "
+    "GROUP BY CUBE (event_type, date_trunc('hour', ts))"
+)

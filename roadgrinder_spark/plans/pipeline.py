@@ -45,6 +45,9 @@ class GrinderConfig:
     group_size: int = 16
 
     def fingerprint(self, stage: str, extra: str = "") -> str:
+        """Covers config AND (via `extra`) the input identity — pipelines
+        pass a normalized plan digest of the input DataFrame so a changed
+        input invalidates every stage."""
         import hashlib
 
         payload = json.dumps(
@@ -128,6 +131,17 @@ class CheckpointManager:
         return out
 
 
+def _input_digest(df: DataFrame) -> str:
+    """Deterministic identity of an input DataFrame: md5 of its analyzed
+    logical plan with session-varying expression ids stripped. Captures
+    source paths and the transformation shape, not the session."""
+    import hashlib
+    import re as _re
+
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return hashlib.md5(_re.sub(r"#\d+", "", plan).encode()).hexdigest()[:16]
+
+
 @dataclass
 class GrindResult:
     outputs: dict[str, DataFrame]
@@ -165,43 +179,44 @@ class RoadGrinderPipeline:
 
         cfg = self.config
         t0 = time.time()
+        inp = _input_digest(documents)
 
         roads = self.ckpt.stage(
-            "roads", cfg.fingerprint("roads"), lambda: unpack_roads(documents)
+            "roads", cfg.fingerprint("roads", inp), lambda: unpack_roads(documents)
         )
         addrpnts = self.ckpt.stage(
-            "addrpnts", cfg.fingerprint("addrpnts"), lambda: unpack_addrpnts(documents)
+            "addrpnts", cfg.fingerprint("addrpnts", inp), lambda: unpack_addrpnts(documents)
         )
 
         alias_out = rg.explode_aliases(roads, strict_acs=cfg.strict_acs)
         geocode_roads = self.ckpt.stage(
             "geocode_roads",
-            cfg.fingerprint("geocode_roads"),
+            cfg.fingerprint("geocode_roads", inp),
             lambda: alias_out.geocode_roads,
         )
         scratch = self.ckpt.stage(
-            "scratch", cfg.fingerprint("scratch"), lambda: alias_out.scratch
+            "scratch", cfg.fingerprint("scratch", inp), lambda: alias_out.scratch
         )
         altnames_roads = self.ckpt.stage(
             "altnames_roads",
-            cfg.fingerprint("altnames_roads"),
+            cfg.fingerprint("altnames_roads", inp),
             lambda: rg.altnames_roads(scratch, alias_out.altnames_stage1),
         )
         altnames_addrpnts = self.ckpt.stage(
             "altnames_addrpnts",
-            cfg.fingerprint("altnames_addrpnts"),
+            cfg.fingerprint("altnames_addrpnts", inp),
             lambda: rg.altnames_addrpnts(addrpnts),
         )
         matches = self.ckpt.stage(
             "matches",
-            cfg.fingerprint("matches"),
+            cfg.fingerprint("matches", inp),
             lambda: geocode_match(
                 addrpnts, geocode_roads, radius_m=cfg.geocode_radius_m, with_detail=True
             ),
         )
         nearest = self.ckpt.stage(
             "nearest_road",
-            cfg.fingerprint("nearest_road"),
+            cfg.fingerprint("nearest_road", inp),
             lambda: knn_join(
                 addrpnts,
                 roads,

@@ -14,6 +14,19 @@ import tempfile
 from pyspark.sql import SparkSession
 
 
+def build_pyfiles_zip(out_path: str) -> str:
+    """Package roadgrinder_spark/**/*.py into a --py-files zip (shared by
+    ship_package and the make_pyfiles_zip dev script)."""
+    import zipfile
+    from pathlib import Path
+
+    pkg_root = Path(__file__).resolve().parent
+    with zipfile.ZipFile(out_path, "w") as z:
+        for py in sorted(pkg_root.rglob("*.py")):
+            z.write(py, arcname=str(Path("roadgrinder_spark") / py.relative_to(pkg_root)))
+    return out_path
+
+
 def ship_package(spark: SparkSession) -> None:
     """Make roadgrinder_spark importable on executors (the local-mode
     analogue of `spark-submit --py-files roadgrinder_spark.zip`).
@@ -21,17 +34,13 @@ def ship_package(spark: SparkSession) -> None:
     Python workers are separate processes that do not inherit the driver's
     sys.path; pandas_udf / mapInPandas closures reference this package by
     module, so it must ship. Idempotent per session."""
-    import zipfile
-    from pathlib import Path
+    import os as _os
 
     if getattr(spark, "_rg_pkg_shipped", False):
         return
-    pkg_root = Path(__file__).resolve().parent
-    ztmp = Path(tempfile.gettempdir()) / "roadgrinder_spark_pkg.zip"
-    with zipfile.ZipFile(ztmp, "w") as z:
-        for py in sorted(pkg_root.rglob("*.py")):
-            z.write(py, arcname=str(Path("roadgrinder_spark") / py.relative_to(pkg_root)))
-    spark.sparkContext.addPyFile(str(ztmp))
+    ztmp = _os.path.join(tempfile.gettempdir(), "roadgrinder_spark_pkg.zip")
+    build_pyfiles_zip(ztmp)
+    spark.sparkContext.addPyFile(ztmp)
     spark._rg_pkg_shipped = True
 
 

@@ -123,8 +123,13 @@ def streaming_sessionize(
             state.remove()
         else:
             n, s_ns, e_ns = (state.get if state.exists else (0, None, None))
-            for pdf in pdfs:
-                ts_ns = pdf["ts"].astype("int64").sort_values()  # epoch ns
+            # a group's rows may span several Arrow chunks in one micro-
+            # batch: concatenate, THEN sort — per-chunk sorting would
+            # corrupt session boundaries for large groups
+            chunks = [pdf["ts"] for pdf in pdfs]
+            all_ts = pd.concat(chunks) if chunks else pd.Series([], dtype="datetime64[ns]")
+            if len(all_ts):
+                ts_ns = all_ts.astype("int64").sort_values()
                 for t in ts_ns:
                     t = int(t)
                     if e_ns is not None and t - e_ns > gap_ns:

@@ -34,9 +34,19 @@ def duck():
     return con
 
 
+def _norm_datetimes(df: pd.DataFrame) -> pd.DataFrame:
+    # Spark and DuckDB hand pandas different datetime resolutions
+    # (ns vs us); values are identical — unify before comparing
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[ns]")
+    return df
+
+
 def assert_frames_match(sdf, duck_df: pd.DataFrame, name: str = "") -> None:
     """Order-insensitive full-frame equality (the driver's compare)."""
-    sp = sdf.toPandas()
+    sp = _norm_datetimes(sdf.toPandas())
+    duck_df = _norm_datetimes(duck_df)
     cols = sorted(sp.columns)
     assert sorted(duck_df.columns) == cols, f"{name}: schema {cols} vs {sorted(duck_df.columns)}"
     sp = sp[cols].sort_values(cols).reset_index(drop=True)

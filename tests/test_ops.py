@@ -130,3 +130,7 @@ def test_events_oracles(spark, duck, evts):
         events.top_users_by_value(evts),
         duck.sql("WITH " + events.oracle_top_users_sql().strip()).df(),
     )
+
+
+def test_events_cube_oracle(spark, duck, evts):
+    assert_frames_match(events.events_cube(evts), duck.sql(events.ORACLE_EVENTS_CUBE).df())
