@@ -204,3 +204,40 @@ def supercover_cells_udf(cell_size: float, ring: int = 0):
         return pd.Series(cells)
 
     return _cover
+
+
+def choose_cell_size(
+    points, candidates=(31.25, 62.5, 125.0, 250.0, 500.0),
+    target_p99_per_cell: int = 50_000, sample_fraction: float = 0.05,
+    min_radius_m: float = 100.0, seed: int = 42,
+):
+    """Resolution chooser: the finest candidate cell size (>= min_radius_m,
+    to keep ring-1 pruning lossless) whose sampled p99 cell occupancy,
+    scaled back up by the sample fraction, stays under the target.
+
+    One sampled aggregate per candidate (cheap: the sample is scanned
+    once per size; at 10^12 rows use a smaller fraction). Returns
+    (cell_size, {size: estimated_p99_per_cell}).
+    """
+    from pyspark.sql import functions as F
+
+    sample = points.sample(fraction=sample_fraction, seed=seed).select("px", "py")
+    sample = sample.persist()
+    stats = {}
+    try:
+        for s in sorted(candidates):
+            if s < min_radius_m:
+                continue
+            occ = (
+                sample.groupBy(point_cell(F.col("px"), F.col("py"), s).alias("c"))
+                .count()
+                .agg(F.expr("percentile_approx(count, 0.99)").alias("p99"))
+                .collect()[0]["p99"]
+            )
+            stats[s] = int((occ or 0) / sample_fraction)
+        for s in sorted(stats):
+            if stats[s] <= target_p99_per_cell:
+                return s, stats
+        return max(stats), stats
+    finally:
+        sample.unpersist()

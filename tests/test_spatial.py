@@ -176,3 +176,17 @@ def test_grouped_knn_equals_column_knn(spark):
         b[cols].sort_values(cols).reset_index(drop=True),
         check_exact=True,
     )
+
+
+def test_choose_cell_size(spark):
+    """Picks the finest lossless size under the occupancy target; a tiny
+    target forces the coarsest size."""
+    pnts = datagen.derive_addrpnts(spark, SF_DIR)
+    size, stats = sc.choose_cell_size(
+        pnts, target_p99_per_cell=10**9, sample_fraction=0.5
+    )
+    assert size == 125.0 and 125.0 in stats  # finest size >= min_radius
+    size2, stats2 = sc.choose_cell_size(
+        pnts, target_p99_per_cell=1, sample_fraction=0.5
+    )
+    assert size2 == max(stats2)  # nothing fits -> coarsest measured
