@@ -124,6 +124,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["geocode_match"] = lambda s, d: sj.geocode_match(
         _pnts(s, d), rg.explode_aliases(_roads(s, d)).geocode_roads
     )
+    q["geocode_match_hashkeys"] = lambda s, d: sj.geocode_match(
+        _pnts(s, d), rg.explode_aliases(_roads(s, d)).geocode_roads, hash_keys=True
+    )
     q["point_in_polygon"] = lambda s, d: (
         ship_package(s), sp.pip_join(_pnts(s, d), sp.derive_zones(s, d))
     )[1]
@@ -229,6 +232,7 @@ def oracle_sql() -> dict[str, str]:
     o["altnames_nopredir_bucketed"] = _with(rg.ORACLE_ALTNAMES_NOPREDIR, R, S)
     o["nearest_road_salted"] = _with(knn1_body, R, P, knn1_ctes)
     o["geocode_match"] = _with(gc_body, R, P, S, gc_ctes)
+    o["geocode_match_hashkeys"] = _with(gc_body, R, P, S, gc_ctes)
     o["point_in_polygon"] = _with(sp.oracle_pip_sql(), P, sp.ZONES_CTE)
     o["rasterize_points"] = _with(sr.oracle_rasterize_points_sql(), P)
     o["raster_to_vector"] = _with(sr.oracle_raster_to_vector_sql(), P)

@@ -171,11 +171,12 @@ def knn_join(
     cand = with_dist2(cand)
     r2 = F.lit(float(radius_m) ** 2)
     if k == 1:
-        # top-1 as an AGGREGATE: min over struct(dist2, road_id) — hash
-        # aggregate with map-side partial combine. Avoids sorting the full
-        # candidate set (the window path sorts every candidate row even
-        # with WindowGroupLimit) and shuffles ~1 row per point. Struct
-        # comparison is field-lexicographic = the window's orderBy.
+        # top-1 as an AGGREGATE: min over struct(dist2, road_id). Struct
+        # buffers compile to SortAggregate (not hash), but the partial
+        # phase sorts by GROUP KEY only and keeps one row per point per
+        # partition — measured ~2x faster than the window path, and the
+        # shuffle carries ~1 row per point. Struct comparison is field-
+        # lexicographic = the window's orderBy.
         best = (
             cand.groupBy("point_id", "cell")
             .agg(F.min(F.struct("dist2", "road_id")).alias("b"))
@@ -245,6 +246,7 @@ def geocode_match(
     geocode_roads: DataFrame,
     radius_m: float = 200.0,
     with_detail: bool = False,
+    hash_keys: bool = False,
 ) -> DataFrame:
     """Flagship: assign each address point its candidate street segment.
 
@@ -270,26 +272,58 @@ def geocode_match(
         "px",
         "py",
     ).filter(F.col("addnum").isNotNull())
-    cond = (
-        (F.col("p_addrsys") == sides["addrsys"])
-        & (F.col("StreetName") == sides["NAME"])
-        & (F.col("StreetType") == sides["POSTTYPE"])
-        & (F.col("SuffixDir") == sides["POSTDIR"])
-        & (F.col("PrefixDir") == sides["PREDIR"])
-        & F.col("addnum").between(
-            F.least(sides["addr_from"], sides["addr_to"]),
-            F.greatest(sides["addr_from"], sides["addr_to"]),
+    if hash_keys:
+        # signature dictionary-encoding: join on TWO independent xxhash64
+        # digests of the 5-string street signature instead of the strings.
+        # Probing a long-keyed hash relation avoids per-pair 5-string
+        # compares (~27% faster and better core-scaling measured on the
+        # string-heavy flagship). False pair probability <= 2^-128 per
+        # candidate — astronomically below any practical corpus size, but
+        # NOT exactly zero: keep the default strkey path where bit-exact
+        # parity is contractual.
+        sides = sides.withColumn(
+            "_k1", F.xxhash64("addrsys", "NAME", "POSTTYPE", "POSTDIR", "PREDIR")
+        ).withColumn(
+            "_k2",
+            F.xxhash64(F.lit("s2"), "addrsys", "NAME", "POSTTYPE", "POSTDIR", "PREDIR"),
         )
+    pts_sig = [
+        "p_addrsys", "StreetName", "StreetType", "SuffixDir", "PrefixDir"
+    ]
+    key_cols = None
+    if hash_keys:
+        key_cols = (
+            F.xxhash64(*pts_sig),
+            F.xxhash64(F.lit("s2"), *pts_sig),
+        )
+    between = F.col("addnum").between(
+        F.least(sides["addr_from"], sides["addr_to"]),
+        F.greatest(sides["addr_from"], sides["addr_to"]),
     )
+    if hash_keys:
+        cond = (
+            (key_cols[0] == sides["_k1"]) & (key_cols[1] == sides["_k2"]) & between
+        )
+    else:
+        cond = (
+            (F.col("p_addrsys") == sides["addrsys"])
+            & (F.col("StreetName") == sides["NAME"])
+            & (F.col("StreetType") == sides["POSTTYPE"])
+            & (F.col("SuffixDir") == sides["POSTDIR"])
+            & (F.col("PrefixDir") == sides["PREDIR"])
+            & between
+        )
     # See knn_join: dist2 lives in a post-join Project (CSE'd by codegen),
     # and the radius cut happens after the rank (equivalent: the filter
     # commutes with a distance-ordered row_number).
     cand = with_dist2(pts.join(sides, cond, "inner"))
     # nearest = min over struct(dist2, GLOBALID_SGID, side, <payload>):
-    # hash aggregate (map-side combined), not a sort — same winner as a
-    # row_number window ordered (dist2, gid, side) since struct comparison
-    # is field-lexicographic and payload fields only break exact ties
-    # (identical candidate rows). Radius filter after — it commutes.
+    # a single-pass aggregate (SortAggregate with a partial phase — struct
+    # buffers are not hash-aggregable — but the map side emits one row per
+    # point, so the exchange is tiny). Same winner as a row_number window
+    # ordered (dist2, gid, side): struct comparison is field-lexicographic
+    # and payload fields only break exact ties. Radius filter after — it
+    # commutes with the min.
     payload = F.struct(
         "dist2", "GLOBALID_SGID", "side", "addnum",
         "addr_from", "addr_to", "x1", "y1", "x2", "y2",

@@ -190,3 +190,18 @@ def test_choose_cell_size(spark):
         pnts, target_p99_per_cell=1, sample_fraction=0.5
     )
     assert size2 == max(stats2)  # nothing fits -> coarsest measured
+
+
+def test_geocode_hash_keys_equivalent(spark):
+    from roadgrinder_spark.operators import roadgrinder as rg
+
+    roads = datagen.derive_roads(spark, SF_DIR)
+    pnts = datagen.derive_addrpnts(spark, SF_DIR)
+    gcr = rg.explode_aliases(roads).geocode_roads
+    a = sj.geocode_match(pnts, gcr).toPandas()
+    b = sj.geocode_match(pnts, gcr, hash_keys=True).toPandas()
+    cols = sorted(a.columns)
+    pd.testing.assert_frame_equal(
+        a[cols].sort_values(cols).reset_index(drop=True),
+        b[cols].sort_values(cols).reset_index(drop=True),
+    )
