@@ -153,9 +153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         T.lang_id(F.col("text")).alias("lang_pred"),
         F.round(T.quality_score(F.col("text")), 6).alias("quality"),
     )
-    q["doc_fingerprints"] = lambda s, d: _docs(s, d).select(
-        "doc_id", T.doc_fingerprint("text").alias("fingerprint")
-    )
+    q["doc_fingerprints"] = lambda s, d: T.fingerprint_frame(_docs(s, d))
     q["token_count_bpe"] = lambda s, d: _docs(s, d).select(
         "doc_id", T.bpe_ish_token_count(F.col("text")).alias("n_subwords")
     )
@@ -258,8 +256,18 @@ def oracle_sql() -> dict[str, str]:
     o["events_cube"] = events.ORACLE_EVENTS_CUBE
     o["sessionize"] = _with(*_split_body(events.oracle_sessionize_sql()))
     o["top_users"] = _with(*_split_body(events.oracle_top_users_sql()))
-    # rows-only (approximate / hash-based / stubbed): minhash_lsh,
-    # simhash_pairs, doc_fingerprints, ann_ivf_topk, media_features
+    # hash-dedup family: portable polynomial base hash (functions/phash.py)
+    # makes minhash/simhash/fingerprints value-checkable in DuckDB
+    o["minhash_lsh"] = _with(*_split_body(dedup.oracle_minhash_lsh_sql(threshold=0.3)))
+    o["simhash_pairs"] = _with(*_split_body(dedup.oracle_simhash_pairs_sql(max_hamming=16)))
+    o["doc_fingerprints"] = _with(*_split_body(T.oracle_fingerprint_sql()))
+    # media trio: the decode stub is md5-arithmetic, which DuckDB can
+    # reproduce exactly (media.py oracle builders)
+    M = media.oracle_media_cte()
+    o["media_features"] = _with(media.ORACLE_MEDIA_FEATURES, R, P, M)
+    o["media_resize"] = _with(media.oracle_media_resize_sql(), R, P, M)
+    o["media_frame_sample"] = _with(media.oracle_frame_sample_sql(), R, P, M)
+    # rows-only (approximate by construction): ann_ivf_topk
     return o
 
 

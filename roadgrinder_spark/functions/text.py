@@ -9,11 +9,8 @@ regex keeps the two engines' semantics provably identical.
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
 
 # ---------------------------------------------------------------------------
 # occurrence counting: (len(s) - len(replace(s, pat, ''))) / len(pat)
@@ -145,38 +142,96 @@ def quality_score_sql(expr: str) -> str:
 
 # ---------------------------------------------------------------------------
 # document fingerprint: winnowing over rolling k-gram hashes — fully
-# JVM-side (higher-order functions over xxhash64 k-gram hashes); no Python
-# in the hot path. Robust-winnowing variant: fingerprint set = distinct
-# per-window minima of k-gram hashes (Schleimer et al., SIGMOD'03 scheme).
+# JVM-side (higher-order functions over portable polynomial k-gram hashes,
+# functions/phash.py — DuckDB-reproducible); no Python in the hot path.
+# Robust-winnowing variant: fingerprint set = distinct per-window minima of
+# k-gram hashes (Schleimer et al., SIGMOD'03 scheme).
 # ---------------------------------------------------------------------------
 
+from . import phash
+
+
 def kgram_hashes(col_name: str, k: int = 8) -> Column:
-    """array<long> of xxhash64 over each k-char gram (rolling positions)."""
+    """array<long> of portable poly hashes over each k-char gram."""
     return F.expr(
-        f"transform(sequence(1, greatest(1, length({col_name}) - {k - 1})), "
-        f"i -> xxhash64(substring({col_name}, i, {k})))"
+        f"transform(transform(sequence(1, greatest(1, length({col_name}) - {k - 1})), "
+        f"i -> substring({col_name}, i, {k})), s -> {phash.poly8_sql('s', phash.B1)})"
     )
 
 
 def winnow_fingerprints(col_name: str, k: int = 8, window: int = 4) -> Column:
     """array<long> fingerprint set: sorted distinct minima of each
-    length-`window` window over the k-gram hash sequence."""
-    grams = f"transform(sequence(1, greatest(1, length({col_name}) - {k - 1})), i -> xxhash64(substring({col_name}, i, {k})))"
+    length-`window` window over the k-gram hash sequence.
+
+    NOTE: re-evaluates the gram array per window (the gram expr sits
+    inside the window lambda) — fine for tests/small batches; the staged
+    `fingerprint_frame` below is the O(L) production path."""
+    gexpr = (
+        f"transform(transform(sequence(1, greatest(1, length({col_name}) - {k - 1})), "
+        f"i -> substring({col_name}, i, {k})), s -> {phash.poly8_sql('s', phash.B1)})"
+    )
     return F.expr(
         f"array_sort(array_distinct(transform("
-        f"sequence(1, greatest(1, size({grams}) - {window - 1})), "
-        f"w -> array_min(slice({grams}, w, {window})))))"
+        f"sequence(1, greatest(1, size({gexpr}) - {window - 1})), "
+        f"w -> array_min(slice({gexpr}, w, {window})))))"
     )
 
 
-def doc_fingerprint(col_name: str, k: int = 8, window: int = 4) -> Column:
-    """Single 64-bit document fingerprint: hash of the winnowed set."""
-    return F.xxhash64(
-        F.concat_ws(",", winnow_fingerprints(col_name, k, window).cast("array<string>"))
+def fingerprint_frame(
+    docs, text_col: str = "text", k: int = 8, window: int = 4
+):
+    """(doc_id, fingerprint: md5 string of the winnowed minima set) —
+    staged through withColumn so the gram array is computed once per doc
+    (Catalyst does not CSE expressions repeated inside lambdas)."""
+    return (
+        docs.withColumn(
+            "_gs",
+            F.expr(
+                f"transform(sequence(1, greatest(1, length({text_col}) - {k - 1})), "
+                f"i -> substring({text_col}, i, {k}))"
+            ),
+        )
+        .withColumn("_g", F.expr(f"transform(_gs, s -> {phash.poly8_sql('s', phash.B1)})"))
+        .withColumn(
+            "_w",
+            F.expr(
+                f"transform(sequence(1, greatest(1, size(_g) - {window - 1})), "
+                f"w -> array_min(slice(_g, w, {window})))"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.md5(
+                F.concat_ws(
+                    ",", F.expr("array_sort(array_distinct(_w))").cast("array<string>")
+                )
+            ).alias("fingerprint"),
+        )
     )
 
 
-_ = (np, pd)  # numpy/pandas kept for future vectorized kernels
+def oracle_fingerprint_sql(k: int = 8, window: int = 4) -> str:
+    """DuckDB SQL reproducing fingerprint_frame: window-min over the gram
+    hash sequence (ROWS BETWEEN CURRENT AND window-1 FOLLOWING truncates
+    at the partition end exactly like Spark's slice())."""
+    return f"""
+fp_g0 AS (
+  SELECT d.doc_id, CAST(p.pos AS INT) AS pos,
+         substring(d.text, CAST(p.pos AS INT), {k}) AS gs
+  FROM documents d,
+       LATERAL (SELECT unnest(range(1, greatest(1, length(d.text) - {k - 1}) + 1)) AS pos) p
+),
+fp_g AS (SELECT doc_id, pos, {phash.poly8_sql('gs', phash.B1)} AS g FROM fp_g0),
+fp_w AS (
+  SELECT doc_id, pos,
+         min(g) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS m,
+         count(*) OVER (PARTITION BY doc_id) AS n
+  FROM fp_g
+)
+SELECT doc_id,
+       md5(array_to_string(list_sort(list(DISTINCT m)), ',')) AS fingerprint
+FROM fp_w WHERE pos <= greatest(1, n - {window - 1}) GROUP BY doc_id"""
 
 
 # ---------------------------------------------------------------------------

@@ -133,7 +133,9 @@ WHERE i.inter_n >= (sa.n_sh + sb.n_sh - i.inter_n) * {float(threshold)}"""
 # MinHash + banded LSH (JVM higher-order expressions; no Python)
 # ---------------------------------------------------------------------------
 
-_MH_PRIME = 2147483647  # 2^31 - 1
+from ..functions import phash
+
+_MH_PRIME = phash.P  # 2^31 - 1
 
 
 def _perm_params(n_hashes: int) -> list[tuple[int, int]]:
@@ -148,20 +150,22 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig: array<long>[n_hashes]) MinHash signature per doc.
 
-    Base shingle hashes via xxhash64(substring) inside a single JVM
-    transform(); each permutation is min over (a*h'+b) mod P with
-    h' = pmod(h, P).
-    """
-    grams = (
+    Base shingle hash is the portable polynomial (functions/phash.py) so
+    the DuckDB oracle reproduces signatures exactly; each permutation is
+    min over (a*h + b) mod P. Gram strings are staged through `_gs` so
+    the 9-reference poly expression evaluates substring(text, i, k) once
+    per gram (Catalyst does not CSE inside lambdas)."""
+    gram_strings = (
         f"transform(sequence(1, greatest(1, length(text) - {k - 1})), "
-        f"i -> pmod(xxhash64(substring(text, i, {k})), {_MH_PRIME}))"
+        f"i -> substring(text, i, {k}))"
     )
     mins = ", ".join(
-        f"array_min(transform(_g, h -> pmod(h * {a}L + {b}L, {_MH_PRIME})))"
+        f"array_min(transform(_g, h -> (h * {a}L + {b}L) % {_MH_PRIME}L))"
         for a, b in _perm_params(n_hashes)
     )
     return (
-        docs.withColumn("_g", F.expr(grams))
+        docs.withColumn("_gs", F.expr(gram_strings))
+        .withColumn("_g", F.expr(f"transform(_gs, s -> {phash.poly8_sql('s', phash.B1)})"))
         .select("doc_id", F.expr(f"array({mins})").alias("sig"))
     )
 
@@ -176,9 +180,10 @@ def minhash_lsh_pairs(
     """Candidate pairs via banded LSH, scored by the MinHash estimate.
 
     Returns (doc_a, doc_b, est_jaccard) with est >= threshold. Candidate
-    generation: band hash = xxhash64 of each sig slice; self-join per
-    (band_idx, band_hash) bucket — uniform fanout, no hot keys because
-    signatures of distinct docs collide per-band with probability j^rows.
+    generation: band hash = md5 of each sig slice (portable; just a bucket
+    key); self-join per (band_idx, band_hash) bucket — uniform fanout, no
+    hot keys because signatures of distinct docs collide per-band with
+    probability j^rows.
     """
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(docs, k, n_hashes)
@@ -188,7 +193,7 @@ def minhash_lsh_pairs(
         F.explode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}), "
-                f"b -> struct(b AS band, xxhash64(concat_ws(',', "
+                f"b -> struct(b AS band, md5(concat_ws(',', "
                 f"slice(sig, b * {rows_per_band} + 1, {rows_per_band}))) AS bh))"
             )
         ).alias("bb"),
@@ -219,31 +224,88 @@ def minhash_lsh_pairs(
     )
 
 
+def oracle_minhash_lsh_sql(
+    k: int = 8, n_hashes: int = 64, bands: int = 8, threshold: float = 0.5
+) -> str:
+    """DuckDB SQL reproducing minhash_lsh_pairs exactly (portable base
+    hash, same permutation constants, same md5 band keys). Signature
+    elements live as n_hashes min() aggregate columns m0..m{n-1}."""
+    rows = n_hashes // bands
+    params = _perm_params(n_hashes)
+    mins = ", ".join(
+        f"min((g * {a} + {b}) % {_MH_PRIME}) AS m{j}"
+        for j, (a, b) in enumerate(params)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT *, {b} AS band, md5({cc}) AS bh FROM msig".format(
+            b=b,
+            cc=" || ',' || ".join(
+                f"CAST(m{b * rows + i} AS STRING)" for i in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    eq_sum = " + ".join(
+        f"(CASE WHEN sa.m{j} = sb.m{j} THEN 1 ELSE 0 END)" for j in range(n_hashes)
+    )
+    return f"""
+mg0 AS (
+  SELECT d.doc_id, substring(d.text, CAST(p.pos AS INT), {k}) AS gs
+  FROM documents d,
+       LATERAL (SELECT unnest(range(1, greatest(1, length(d.text) - {k - 1}) + 1)) AS pos) p
+),
+mgrams AS (SELECT doc_id, {phash.poly8_sql('gs', phash.B1)} AS g FROM mg0),
+msig AS (SELECT doc_id, {mins} FROM mgrams GROUP BY doc_id),
+mbanded AS ({band_rows}),
+mcand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM mbanded a JOIN mbanded b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+mscored AS (
+  SELECT c.doc_a, c.doc_b, ({eq_sum}) / {n_hashes} AS est_jaccard
+  FROM mcand c
+  JOIN msig sa ON sa.doc_id = c.doc_a
+  JOIN msig sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, est_jaccard FROM mscored WHERE est_jaccard >= {threshold}"""
+
+
 # ---------------------------------------------------------------------------
 # SimHash (64-bit) — JVM expressions
 # ---------------------------------------------------------------------------
 
-def simhash(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash: long): sign-sum over token xxhash64 bits.
+SIMHASH_BITS = 62  # two 31-bit portable hashes packed: h1 * 2^31 + h2
 
-    Token list via split on whitespace; per-bit majority computed with one
-    aggregate() per bit over the token-hash array (64 JVM expressions, one
-    pass, no shuffle)."""
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash: long): sign-sum over portable token-hash bits.
+
+    Token list via split on whitespace; token hash = two independent
+    31-bit polynomial hashes (functions/phash.py) packed into 62 bits,
+    so the DuckDB oracle reproduces it exactly. Per-bit majority is one
+    aggregate() per bit over the staged token-hash array `_th` (62 flat
+    JVM expressions, one pass, no shuffle)."""
     toks = "filter(split(text, '\\\\s+'), t -> t <> '')"
-    hashes = f"transform({toks}, t -> xxhash64(t))"
+    th = (
+        f"transform({toks}, t -> "
+        f"{phash.poly8_sql('t', phash.B1)} * 2147483648L + {phash.poly8_sql('t', phash.B2)})"
+    )
     bit_sums = [
         (
-            f"aggregate({hashes}, 0L, "
+            f"aggregate(_th, 0L, "
             f"(acc, h) -> acc + CASE WHEN shiftright(h, {j}) & 1 = 1 THEN 1 ELSE -1 END)"
         )
-        for j in range(64)
+        for j in range(SIMHASH_BITS)
     ]
-    # assemble: bit j set iff sum > 0   (shiftleft on BIGINT)
     packed = " + ".join(
-        f"(CASE WHEN ({s}) > 0 THEN shiftleft(1L, {j}) ELSE 0L END)"
+        f"(CASE WHEN ({s}) > 0 THEN {1 << j}L ELSE 0L END)"
         for j, s in enumerate(bit_sums)
     )
-    return docs.select("doc_id", F.expr(packed).alias("simhash"))
+    return (
+        docs.withColumn("_th", F.expr(th))
+        .select("doc_id", F.expr(packed).alias("simhash"))
+    )
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
@@ -279,6 +341,49 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
         .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def oracle_simhash_pairs_sql(max_hamming: int = 8) -> str:
+    """DuckDB SQL reproducing simhash_near_pairs exactly. Tokens via
+    regexp split; the per-bit majority is SIMHASH_BITS sum() aggregates;
+    docs with zero tokens keep simhash 0 via the LEFT JOIN."""
+    h1 = phash.poly8_sql("tok", phash.B1)
+    h2 = phash.poly8_sql("tok", phash.B2)
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    packed = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(SIMHASH_BITS)
+    )
+    blocks = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS blk, (simhash >> {b * 16}) & 65535 AS bv FROM sh"
+        for b in range(4)
+    )
+    return rf"""
+stoks AS (
+  SELECT d.doc_id, t.tok
+  FROM documents d,
+       LATERAL (SELECT unnest(regexp_split_to_array(d.text, '\s+')) AS tok) t
+  WHERE t.tok <> ''
+),
+sth AS (SELECT doc_id, {h1} * 2147483648 + {h2} AS h FROM stoks),
+sbits AS (SELECT doc_id, {bit_sums} FROM sth GROUP BY doc_id),
+sh0 AS (SELECT doc_id, {packed} AS simhash FROM sbits),
+sh AS (
+  SELECT d.doc_id, coalesce(s.simhash, 0) AS simhash
+  FROM (SELECT DISTINCT doc_id FROM documents) d
+  LEFT JOIN sh0 s ON s.doc_id = d.doc_id
+),
+sblocks AS ({blocks}),
+spairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+  FROM sblocks a JOIN sblocks b
+    ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM spairs WHERE hamming <= {max_hamming}"""
 
 
 # ---------------------------------------------------------------------------

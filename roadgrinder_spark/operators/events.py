@@ -55,10 +55,17 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             .rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
+    # started/ended as epoch MICROSECONDS BIGINT: raw TIMESTAMP_NTZ min/max
+    # round-trips with different serialization between Spark and DuckDB
+    # (round-1 driver gate: rows/schema matched, hash did not). Canonicalize
+    # in the query contract, not the comparator (VERDICT r1 #1). Integer
+    # micros (unix_micros / epoch_us) avoid the float rounding that
+    # second-granularity epoch() would introduce in DuckDB.
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
     return sess.groupBy("user_id", "session_idx").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.min("ts").alias("started"),
-        F.max("ts").alias("ended"),
+        F.min(micros).alias("started"),
+        F.max(micros).alias("ended"),
     )
 
 
@@ -76,8 +83,10 @@ sess AS (
                             ROWS UNBOUNDED PRECEDING) AS session_idx
   FROM flagged
 )
-SELECT user_id, session_idx, count(*) AS n_events,
-       min(ts) AS started, max(ts) AS ended
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       count(*) AS n_events,
+       CAST(min(epoch_us(ts)) AS BIGINT) AS started,
+       CAST(max(epoch_us(ts)) AS BIGINT) AS ended
 FROM sess GROUP BY user_id, session_idx"""
 
 

@@ -115,6 +115,68 @@ def resize_media(features: DataFrame, max_dim: int = 256) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL for the stubbed decode: the stub derives width/height
+# from md5(media_ref) bytes and DuckDB has md5(), so the whole media trio is
+# value-checkable (VERDICT r1 #2). The media spans themselves are a pure
+# function of the packed relations (spans.pack_documents): roads contribute
+# geometry as media_ref, addrpnts contribute 'POINT (px py)'.
+# ---------------------------------------------------------------------------
+
+def _hexbyte_sql(expr: str, pos: int) -> str:
+    """SQL for byte `pos` (0-based) of md5(expr) as an integer 0..255 —
+    shared Spark/DuckDB subset (instr + substring; both 1-based, same
+    argument order)."""
+    i = 2 * pos + 1
+    return (
+        f"((instr('0123456789abcdef', substring(md5({expr}), {i}, 1)) - 1) * 16"
+        f" + instr('0123456789abcdef', substring(md5({expr}), {i + 1}, 1)) - 1)"
+    )
+
+
+def oracle_media_cte(group_size: int = 16) -> str:
+    """CTEs `media` (doc_id, media_ref per media span) and `mfeat` (+ stub
+    width/height). Requires the roads/addrpnts derivation CTEs in scope."""
+    return f"""
+media AS (
+  SELECT 'road-' || CAST(CAST(FLOOR(objectid / {group_size}) AS BIGINT) AS STRING) AS doc_id,
+         geometry AS media_ref
+  FROM roads WHERE geometry <> ''
+  UNION ALL
+  SELECT 'addrpnt-' || CAST(CAST(FLOOR(objectid / {group_size}) AS BIGINT) AS STRING) AS doc_id,
+         'POINT (' || CAST(px AS STRING) || ' ' || CAST(py AS STRING) || ')' AS media_ref
+  FROM addrpnts
+),
+mfeat AS (
+  SELECT doc_id, media_ref,
+    CAST(64 + ({_hexbyte_sql('media_ref', 0)} % 64) * 16 AS INTEGER) AS width,
+    CAST(64 + ({_hexbyte_sql('media_ref', 1)} % 64) * 16 AS INTEGER) AS height
+  FROM media
+)"""
+
+
+ORACLE_MEDIA_FEATURES = "SELECT doc_id, media_ref, width, height FROM mfeat"
+
+
+def oracle_media_resize_sql(max_dim: int = 256) -> str:
+    return f"""
+SELECT doc_id, media_ref, width, height,
+       CAST(ceil(width * s) AS INTEGER) AS resized_w,
+       CAST(ceil(height * s) AS INTEGER) AS resized_h
+FROM (SELECT *, least(CAST(1.0 AS DOUBLE),
+                      CAST({max_dim} AS DOUBLE) / greatest(width, height)) AS s
+      FROM mfeat)"""
+
+
+def oracle_frame_sample_sql(fps_num: int = 1, fps_den: int = 10) -> str:
+    return f"""
+SELECT m.doc_id, m.media_ref, f.frame_idx
+FROM (SELECT doc_id, media_ref,
+             CAST(FLOOR(CAST(width AS BIGINT) * {fps_num} / {fps_den}) AS BIGINT) AS n
+      FROM mfeat) m,
+LATERAL (SELECT unnest(range(0, greatest(CAST(1 AS BIGINT), m.n))) AS frame_idx) f"""
+
+
 def frame_sample(docs: DataFrame, fps_num: int = 1, fps_den: int = 10) -> DataFrame:
     """Frame-sampling plan for video media spans: deterministic frame
     indices at fps_num/fps_den of the (fake) native rate. The duration

@@ -48,13 +48,25 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path_factory):
         .outputMode("append").trigger(processingTime="1 second").start()
     )
     batch = sessionize(spark.read.parquet(f"{SF_DIR}/events.parquet")).collect()
+    # batch sessionize emits epoch-micros BIGINT (driver-oracle contract);
+    # the streaming op keeps timestamps — normalize to micros for compare.
+    def _us(t):
+        import datetime
+
+        return (t.replace(tzinfo=None) - datetime.datetime(1970, 1, 1)) // datetime.timedelta(
+            microseconds=1
+        )
+
     want = {(b["user_id"], b["started"], b["ended"], b["n_events"]) for b in batch}
     deadline = time.time() + 120
     got = set()
     try:
         while time.time() < deadline:
             rows = spark.sql("SELECT * FROM sess_state").collect()
-            got = {(r["user_id"], r["started"], r["ended"], r["n_events"]) for r in rows}
+            got = {
+                (r["user_id"], _us(r["started"]), _us(r["ended"]), r["n_events"])
+                for r in rows
+            }
             if len(got) >= len(want):
                 break
             time.sleep(2)
