@@ -131,6 +131,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ship_package(s), sp.pip_join(_pnts(s, d), sp.derive_zones(s, d))
     )[1]
     q["rasterize_points"] = lambda s, d: sr.rasterize_points(_pnts(s, d))
+    q["threshold_regions"] = lambda s, d: sr.threshold_regions(
+        sr.rasterize_points(_pnts(s, d)), min_count=2
+    )
     q["raster_to_vector"] = lambda s, d: sr.raster_to_vector(
         sr.rasterize_points(_pnts(s, d))
     )
@@ -157,7 +160,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["token_count_bpe"] = lambda s, d: _docs(s, d).select(
         "doc_id", T.bpe_ish_token_count(F.col("text")).alias("n_subwords")
     )
-    q["dedup_embedding"] = lambda s, d: dedup.embedding_near_dups(_embs(s, d))
+    q["dedup_embedding"] = lambda s, d: (
+        ship_package(s), dedup.embedding_near_dups(_embs(s, d))
+    )[1]
 
     # -- similarity search --------------------------------------------------
     q["ann_brute_topk"] = lambda s, d: vectors.brute_force_topk(_embs(s, d))
@@ -211,7 +216,7 @@ def oracle_sql() -> dict[str, str]:
     )
     s_ = sc.DEFAULT_CELL_SIZE
     o["tiles_roads"] = _with(
-        f"""SELECT r.objectid AS road_id, cx.cx * {sc.PACK} + cy.cy AS cell
+        f"""SELECT r.objectid AS road_id, cx.cx * {sc.PACK} + cy.cy + {sc.CY_BIAS} AS cell
         FROM roads r,
         LATERAL (SELECT unnest(range(
           CAST(FLOOR(least(r.x1, r.x2) / {s_}) AS BIGINT) - 1,
@@ -233,6 +238,9 @@ def oracle_sql() -> dict[str, str]:
     o["geocode_match_hashkeys"] = _with(gc_body, R, P, S, gc_ctes)
     o["point_in_polygon"] = _with(sp.oracle_pip_sql(), P, sp.ZONES_CTE)
     o["rasterize_points"] = _with(sr.oracle_rasterize_points_sql(), P)
+    o["threshold_regions"] = _with(
+        *_split_body(sr.oracle_threshold_regions_sql(min_count=2)), P
+    ).replace("WITH ", "WITH RECURSIVE ", 1)
     o["raster_to_vector"] = _with(sr.oracle_raster_to_vector_sql(), P)
     o["validation_counts"] = _with(rg.ORACLE_VALIDATION_COUNTS, R, P)
 

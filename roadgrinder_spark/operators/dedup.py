@@ -390,19 +390,92 @@ SELECT doc_a, doc_b, hamming FROM spairs WHERE hamming <= {max_hamming}"""
 # embedding-cosine near-duplicates
 # ---------------------------------------------------------------------------
 
-def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.35) -> DataFrame:
-    """Vector-space near-dup pairs: (id_a < id_b, cos >= threshold).
-
-    Exact all-pairs over the corpus — correct baseline; at 10^9 vectors
-    swap the candidate generation for the IVF buckets in
-    operators/vectors.py (same rerank). cos rounded to 6 dp for
-    engine-portable hashing (see vectors.py notes)."""
+def embedding_near_dups_allpairs(
+    embeddings: DataFrame, threshold: float = 0.35
+) -> DataFrame:
+    """Naive all-pairs form — BroadcastNestedLoopJoin, O(N^2) row pairs.
+    Kept ONLY as the pytest equivalence oracle for the blocked kernel
+    below; never the production path (VERDICT r1 #3/#4)."""
     from .vectors import cosine_expr
 
     a = embeddings.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
     b = embeddings.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine_expr("emb_a", "emb_b"), 6).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    block_rows: int = 256,
+    max_blocks: int = 2048,
+) -> DataFrame:
+    """Vector-space near-dup pairs: (id_a < id_b, cos >= threshold) —
+    EXACT, via blocked Arrow matmul instead of a nested-loop join.
+
+    At a loose threshold like 0.35 (the testdata's qualifying pairs run
+    cos 0.35-0.51 and mostly cross cluster labels) no bucketing is
+    lossless, so exact semantics require visiting every block pair. The
+    scale design is the standard blocked all-pairs scheme:
+      1. hash rows into B balanced blocks (blk = vec_id % B);
+      2. replicate each row to the B block-pair tasks it participates
+         in (explode over the co-block id — a narrow shuffle, no
+         BroadcastNestedLoopJoin anywhere in the plan);
+      3. per (bi, bj) group, one numpy matmul in applyInPandas emits
+         only candidate ids with cos >= threshold - 1e-9 (the float
+         slack covers BLAS-vs-sequential association drift, so no true
+         pair can be lost);
+      4. exact JVM-side rerank (same fold expression as the DuckDB
+         oracle) re-scores candidates bit-identically and applies the
+         rounded threshold.
+    Compute is O(N^2/B * N) flops spread over B(B+1)/2 BLAS tasks with
+    two-block memory bounds; for *tight* thresholds (>= ~0.8) prefer
+    sign-LSH/IVF candidate generation + the same rerank (see
+    vectors.ivf_topk) — sub-quadratic, but not exact at 0.35.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from .vectors import cosine_expr
+
+    n = embeddings.count()
+    B = max(1, min(max_blocks, -(-n // block_rows)))
+    rep = (
+        embeddings.select("vec_id", "embedding")
+        .withColumn("blk", (F.col("vec_id") % B).cast("int"))
+        .withColumn("other", F.explode(F.expr(f"sequence(0, {B - 1})")))
+        .withColumn("bi", F.least("blk", "other"))
+        .withColumn("bj", F.greatest("blk", "other"))
+    )
+
+    slack = float(threshold) - 1e-9
+    cand_schema = StructType(
+        [StructField("id_a", LongType()), StructField("id_b", LongType())]
+    )
+
+    def block_pairs(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = int(key[0]), int(key[1])
+        ids = pdf["vec_id"].to_numpy()
+        blk = pdf["blk"].to_numpy()
+        emb = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        nrm = np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-300)
+        sims = (emb / nrm) @ (emb / nrm).T
+        iu, ju = np.where(sims >= slack)
+        keep = ids[iu] < ids[ju]
+        if bi != bj:  # cross-block pairs only; (i,i) task owns within-block
+            keep &= blk[iu] != blk[ju]
+        return pd.DataFrame({"id_a": ids[iu][keep], "id_b": ids[ju][keep]})
+
+    cand = rep.groupBy("bi", "bj").applyInPandas(block_pairs, schema=cand_schema)
+    ea = embeddings.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
+    eb = embeddings.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
         .select("id_a", "id_b", F.round(cosine_expr("emb_a", "emb_b"), 6).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )

@@ -454,8 +454,15 @@ def altnames_roads_nopredir_bucketed(
                 F.col("_high"),
             ),
         )
-        .withColumn("_rid", F.monotonically_increasing_id())
     )
+    # Row identity = the full scratch column tuple (ADVICE r1: a
+    # monotonically_increasing_id here was evaluated twice — once under
+    # matched keys, once under outer_rows — and ids regenerate per
+    # evaluation, silently misaligning under task retry or nondeterministic
+    # source order). Keying on the columns themselves is deterministic and
+    # semantically exact: identical rows have identical match outcomes, and
+    # a left_anti join preserves left-side multiplicity.
+    id_cols = list(scratch.columns)
     b = int(bucket_size)
     bucketed = lh.withColumn(
         "_bucket",
@@ -483,7 +490,7 @@ def altnames_roads_nopredir_bucketed(
     canonical = oc("o", "_bucket") == F.floor(
         F.greatest(oc("o", "_span_lo"), oc("c", "_span_lo")) / b
     )
-    matched_rids = (
+    matched_keys = (
         outer_b.join(
             cand_b,
             (oc("o", "ADDRSYS_L") == oc("c", "ADDRSYS_L"))
@@ -497,9 +504,16 @@ def altnames_roads_nopredir_bucketed(
             & overlap,
             "inner",
         )
-        .select(oc("o", "_rid").alias("_rid"))
+        .select(*[oc("o", c).alias(c) for c in id_cols])
         .distinct()
+        .alias("m")
     )
-    outer_rows = lh.filter((F.col("PREDIR") != "") & has_letter(F.col("NAME")))
-    survivors = outer_rows.join(matched_rids, "_rid", "left_anti")
+    outer_rows = lh.filter(
+        (F.col("PREDIR") != "") & has_letter(F.col("NAME"))
+    ).alias("s")
+    anti_cond = None
+    for c in id_cols:  # null-safe equality keeps exact anti-join semantics
+        clause = F.col(f"s.{c}").eqNullSafe(F.col(f"m.{c}"))
+        anti_cond = clause if anti_cond is None else (anti_cond & clause)
+    survivors = outer_rows.join(matched_keys, anti_cond, "left_anti")
     return survivors.withColumn("PREDIR", F.lit("")).select(*GEOCODE_ROADS_COLS)

@@ -40,8 +40,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
 #: 2^26 cells per axis — at 31.25 m resolution that spans ±2097 km, far
-#: beyond any single projected CRS zone. cy must be < 2^26 and >= 0.
+#: beyond any single projected CRS zone.
 PACK = 1 << 26
+#: cy bias before packing (ADVICE r1): raw packing cx*PACK + cy is not
+#: injective for negative cy — (cx, -1) collides with (cx-1, PACK-1).
+#: Biasing cy into [0, PACK) makes the pack injective over
+#: cy in [-2^25, 2^25), i.e. y in ±4194 km at the default 125 m cell —
+#: every projected-CRS zone, both hemispheres.
+CY_BIAS = 1 << 25
 
 #: default grid resolution (m). >= default match radius (100 m) so the
 #: ring=1 cover guarantee holds.
@@ -56,7 +62,7 @@ def cell_xy(x: Column, y: Column, cell_size: float) -> tuple[Column, Column]:
 
 
 def pack_cell(cx: Column, cy: Column) -> Column:
-    return (cx * F.lit(PACK) + cy).cast("long")
+    return (cx * F.lit(PACK) + cy + F.lit(CY_BIAS)).cast("long")
 
 
 def point_cell(x: Column, y: Column, cell_size: float = DEFAULT_CELL_SIZE) -> Column:
@@ -69,7 +75,7 @@ def point_cell_sql(x: str, y: str, cell_size: float = DEFAULT_CELL_SIZE) -> str:
     """DuckDB/ANSI spelling of point_cell (for oracle SQL)."""
     return (
         f"CAST(FLOOR({x} / {cell_size}) AS BIGINT) * {PACK} "
-        f"+ CAST(FLOOR({y} / {cell_size}) AS BIGINT)"
+        f"+ CAST(FLOOR({y} / {cell_size}) AS BIGINT) + {CY_BIAS}"
     )
 
 
@@ -181,7 +187,7 @@ def supercover_numpy(
         ox, oy = np.meshgrid(offs, offs)
         cx = (cx[:, :, None] + ox.ravel()[None, None, :]).reshape(n, -1)
         cy = (cy[:, :, None] + oy.ravel()[None, None, :]).reshape(n, -1)
-    packed = cx * PACK + cy
+    packed = cx * PACK + cy + CY_BIAS
     out: list[np.ndarray] = []
     for i in range(n):  # O(rows) unique-split; heavy math above is batched
         out.append(np.unique(packed[i]))

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .cells import DEFAULT_CELL_SIZE, PACK, cell_xy, pack_cell
+from .cells import CY_BIAS, DEFAULT_CELL_SIZE, PACK, cell_xy, pack_cell
 
 
 def rasterize_points(
@@ -33,7 +33,7 @@ def rasterize_points(
 
 def oracle_rasterize_points_sql(cell_size: float = DEFAULT_CELL_SIZE) -> str:
     return f"""
-SELECT cx * {PACK} + cy AS cell, cx, cy, count(*) AS n
+SELECT cx * {PACK} + cy + {CY_BIAS} AS cell, cx, cy, count(*) AS n
 FROM (
   SELECT CAST(FLOOR(px / {cell_size}) AS BIGINT) AS cx,
          CAST(FLOOR(py / {cell_size}) AS BIGINT) AS cy
@@ -80,6 +80,36 @@ def oracle_raster_to_vector_sql(cell_size: float = DEFAULT_CELL_SIZE) -> str:
     return f"SELECT cell, n, {wkt} AS wkt FROM ({base})"
 
 
+def oracle_threshold_regions_sql(
+    cell_size: float = DEFAULT_CELL_SIZE, min_count: int = 1
+) -> str:
+    """DuckDB recursive-CTE oracle for threshold_regions: transitive
+    closure over the 4-neighborhood edge set, then min label per cell —
+    identical semantics to the distributed label propagation. Needs the
+    `addrpnts` CTE in scope and a WITH RECURSIVE prefix."""
+    return f"""
+tr_rast AS (
+  SELECT CAST(FLOOR(px / {cell_size}) AS BIGINT) AS cx,
+         CAST(FLOOR(py / {cell_size}) AS BIGINT) AS cy, count(*) AS n
+  FROM addrpnts GROUP BY 1, 2
+),
+tr_cells AS (
+  SELECT cx, cy, cx * {PACK} + cy + {CY_BIAS} AS cell
+  FROM tr_rast WHERE n >= {min_count}
+),
+tr_edges AS (
+  SELECT a.cell AS ca, b.cell AS cb
+  FROM tr_cells a JOIN tr_cells b
+    ON abs(a.cx - b.cx) + abs(a.cy - b.cy) = 1
+),
+tr_walk(cell, label) AS (
+  SELECT cell, cell FROM tr_cells
+  UNION
+  SELECT e.ca, w.label FROM tr_walk w JOIN tr_edges e ON e.cb = w.cell
+)
+SELECT cell, min(label) AS region FROM tr_walk GROUP BY cell"""
+
+
 def threshold_regions(
     raster: DataFrame, min_count: int = 1, max_iters: int = 20
 ) -> DataFrame:
@@ -95,6 +125,7 @@ def threshold_regions(
     cells = raster.filter(F.col("n") >= min_count).select("cell", "cx", "cy")
     labels = cells.withColumn("region", F.col("cell"))
     neighbor_offsets = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+    converged = False
     for _ in range(max_iters):
         nbrs = None
         for dx, dy in neighbor_offsets:
@@ -113,15 +144,38 @@ def threshold_regions(
                 F.first("region", ignorenulls=True).alias("region"),
             )
         )
-        changed = joined.filter(
-            F.col("new_region").isNotNull() & (F.col("new_region") < F.col("region"))
-        ).limit(1).count()
-        labels = joined.select(
+        stepped = joined.select(
             "cell",
             "cx",
             "cy",
             F.coalesce(F.least("new_region", "region"), F.col("region")).alias("region"),
-        ).localCheckpoint()  # truncate the growing lineage each iteration
+            F.col("region").alias("_old"),
+        )
+        # pointer-jumping hop (ADVICE r1): region := label of the cell the
+        # current region points to (labels are always cell ids within the
+        # component, so the lookup is a plain equi-join). Halves the
+        # remaining diameter each pass -> convergence in O(log d), so
+        # max_iters=20 covers regions ~2^20 cells across.
+        hop = labels.select(
+            F.col("cell").alias("region"), F.col("region").alias("_hopr")
+        )
+        stepped = stepped.join(hop, "region", "left").select(
+            "cell",
+            "cx",
+            "cy",
+            F.least(F.coalesce("_hopr", "region"), F.col("region")).alias("region"),
+            "_old",
+        )
+        changed = stepped.filter(F.col("region") < F.col("_old")).limit(1).count()
+        labels = stepped.drop("_old").localCheckpoint()  # truncate lineage
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # silently returning split regions would corrupt downstream rollups
+        raise RuntimeError(
+            f"threshold_regions: label propagation did not converge in "
+            f"{max_iters} iterations — raise max_iters (pointer-jumping "
+            f"needs ~log2(region diameter) passes)"
+        )
     return labels.select("cell", "region")

@@ -61,6 +61,42 @@ def streaming_hourly_rollup(
     )
 
 
+def backfill_hourly_rollup(
+    spark: SparkSession,
+    source_dir: str,
+    watermark: str = "2 hours",
+    query_name: str = "rollup_backfill",
+) -> DataFrame:
+    """Complete backfill = streaming rollup ∪ batch tail (ADVICE r1).
+
+    In append mode under trigger(availableNow), windows not yet closed by
+    the watermark are NEVER emitted — the tail hours of a backfill are
+    silently missing from the pure streaming result. This harness drains
+    the stream, then fills exactly the missing (hour, event_type) groups
+    from a batch rollup over the same source (anti-join keeps the
+    streaming rows authoritative). Result equals the batch rollup
+    row-for-row as long as no event arrived later than `watermark` out of
+    order (the streaming test asserts emitted windows already match
+    batch values)."""
+    from ..operators.events import hourly_rollup
+
+    streamed_rows = run_available_now(
+        streaming_hourly_rollup(spark, source_dir, watermark=watermark),
+        query_name=query_name,
+    )
+    streamed = spark.createDataFrame(
+        streamed_rows,
+        "hour timestamp, event_type string, n bigint, sum_value double",
+    )
+    batch = hourly_rollup(spark.read.parquet(source_dir)).withColumn(
+        "hour", F.col("hour").cast("timestamp")  # parquet NTZ -> stream LTZ dtype
+    )
+    tail = batch.join(
+        streamed.select("hour", "event_type"), ["hour", "event_type"], "left_anti"
+    )
+    return streamed.unionByName(tail)
+
+
 def run_available_now(result: DataFrame, query_name: str = "rollup") -> list:
     """Drain everything currently available into an in-memory sink and
     return the rows (test/backfill harness)."""

@@ -114,10 +114,52 @@ def test_ann_brute_oracle(spark, duck):
 
 
 def test_ivf_recall_reasonable(spark):
+    """k-means centroids + multi-assign (r=2) + nprobe=6/16: recall >= 0.9
+    vs exact brute force even on this weakly-clustered corpus."""
     embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     bf = {(r.query_id, r.neighbor_id) for r in vectors.brute_force_topk(embs).collect()}
     iv = {(r.query_id, r.neighbor_id) for r in vectors.ivf_topk(embs).collect()}
-    assert len(bf & iv) / len(bf) >= 0.4  # random embeddings, nprobe=4/16
+    assert len(bf & iv) / len(bf) >= 0.9
+
+
+def test_embedding_near_dups_blocked_equals_allpairs(spark):
+    """The blocked Arrow-matmul kernel reproduces the naive all-pairs
+    output exactly, with several block-pair tasks in play, and its plan
+    contains no BroadcastNestedLoopJoin (VERDICT r1 #4)."""
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    blocked = dedup.embedding_near_dups(embs, block_rows=64)  # 500 rows -> 8 blocks
+    naive = dedup.embedding_near_dups_allpairs(embs)
+    got = sorted(map(tuple, blocked.collect()))
+    want = sorted(map(tuple, naive.collect()))
+    assert got == want and len(got) > 0
+    plan = blocked._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_near_dups_bounded_blocks(spark):
+    """Block count scales with corpus size: at 4x the rows the per-task
+    group stays <= 2*block_rows vectors (two blocks per task), i.e. task
+    memory is bounded regardless of N."""
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    big = embs
+    for i in range(2):  # 4x rows with distinct ids
+        big = big.unionByName(
+            embs.select((F.col("vec_id") + 10000 * (i + 1)).alias("vec_id"),
+                        "embedding", "label")
+        )
+    n = big.count()
+    block_rows = 64
+    B = -(-n // block_rows)
+    rep = (
+        big.withColumn("blk", (F.col("vec_id") % B).cast("int"))
+        .withColumn("other", F.explode(F.expr(f"sequence(0, {B - 1})")))
+        .withColumn("bi", F.least("blk", "other"))
+        .withColumn("bj", F.greatest("blk", "other"))
+    )
+    worst = (
+        rep.groupBy("bi", "bj").count().agg(F.max("count").alias("m")).collect()[0]["m"]
+    )
+    assert worst <= 2 * (-(-n // B) + 1)
 
 
 def test_events_oracles(spark, duck, evts):

@@ -118,7 +118,7 @@ def test_supercover_subset_of_bbox_and_contains_segment_cells(spark):
         cy_lo = int(np.floor(min(y1[i], y2[i]) / size))
         cy_hi = int(np.floor(max(y1[i], y2[i]) / size))
         bbox = {
-            cx * sc.PACK + cy
+            cx * sc.PACK + cy + sc.CY_BIAS
             for cx in range(cx_lo, cx_hi + 1)
             for cy in range(cy_lo, cy_hi + 1)
         }
@@ -127,7 +127,7 @@ def test_supercover_subset_of_bbox_and_contains_segment_cells(spark):
         ts = np.linspace(0, 1, max(2, int(ln[i])))
         scx = np.floor((x1[i] + ts * (x2[i] - x1[i])) / size).astype(np.int64)
         scy = np.floor((y1[i] + ts * (y2[i] - y1[i])) / size).astype(np.int64)
-        assert set(scx * sc.PACK + scy) <= set(covers[i])
+        assert set(scx * sc.PACK + scy + sc.CY_BIAS) <= set(covers[i])
 
 
 def test_morton_deterministic_and_local(spark):

@@ -31,6 +31,22 @@ def test_stream_rollup_matches_batch_closed_windows(spark, tmp_path_factory):
     assert len(got) > 0.5 * len(batch_map)
 
 
+def test_backfill_rollup_full_batch_parity(spark, tmp_path_factory):
+    """streaming ∪ batch-tail backfill equals the batch rollup exactly —
+    the append-mode tail-window gap is closed (ADVICE r1)."""
+    import shutil
+
+    from roadgrinder_spark.streaming.rollup import backfill_hourly_rollup
+
+    src_dir = tmp_path_factory.mktemp("events_backfill")
+    shutil.copy(f"{SF_DIR}/events.parquet", src_dir / "part-0.parquet")
+    full = backfill_hourly_rollup(spark, str(src_dir)).collect()
+    got = {(r["hour"], r["event_type"]): (r["n"], r["sum_value"]) for r in full}
+    batch = hourly_rollup(spark.read.parquet(f"{SF_DIR}/events.parquet")).collect()
+    want = {(r["hour"], r["event_type"]): (r["n"], r["sum_value"]) for r in batch}
+    assert got == want
+
+
 def test_stateful_sessionize_matches_batch(spark, tmp_path_factory):
     """applyInPandasWithState gap sessions: once all state times out, the
     closed-session set equals the batch sessionize result."""
