@@ -170,12 +170,63 @@ def minhash_signatures(
     )
 
 
+def minhash_signatures_numpy(
+    docs: DataFrame, k: int = 8, n_hashes: int = 64
+) -> DataFrame:
+    """Arrow/numpy variant of minhash_signatures — bit-identical output
+    (VERDICT r1 #7; equivalence pytest-enforced).
+
+    Per Arrow batch: utf-32 decode gives the code-point array directly
+    (matches ascii()'s code-point semantics), a sliding-window matvec
+    yields all gram hashes at once, and one (n_hashes × n_grams) modular
+    broadcast + row-min produces the signature — no per-row Python in
+    the arithmetic, just a thin per-doc loop over vectorized kernels."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    P = phash.P
+    pow_rev = np.array(list(reversed(phash._powers(phash.B1))), dtype=np.int64)
+    params = _perm_params(n_hashes)
+    a = np.array([p[0] for p in params], dtype=np.int64)[:, None]
+    b = np.array([p[1] for p in params], dtype=np.int64)[:, None]
+    salt = phash.LEN_SALT
+
+    out_schema = StructType(
+        [
+            docs.schema["doc_id"],
+            StructField("sig", ArrayType(LongType())),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            sigs = []
+            for text in pdf["text"]:
+                codes = np.frombuffer(
+                    (text or "").encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                n = len(codes)
+                if n >= k:
+                    w = np.lib.stride_tricks.sliding_window_view(codes, k)
+                    g = (w @ pow_rev + k * salt) % P
+                else:
+                    g = np.array(
+                        [(codes @ pow_rev[:n] + n * salt) % P], dtype=np.int64
+                    )
+                sigs.append(((g[None, :] * a + b) % P).min(axis=1))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "sig": sigs})
+
+    return docs.select("doc_id", "text").mapInPandas(gen, schema=out_schema)
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     k: int = 8,
     n_hashes: int = 64,
     bands: int = 8,
     threshold: float = 0.5,
+    kernel: str = "numpy",
 ) -> DataFrame:
     """Candidate pairs via banded LSH, scored by the MinHash estimate.
 
@@ -184,9 +235,19 @@ def minhash_lsh_pairs(
     key); self-join per (band_idx, band_hash) bucket — uniform fanout, no
     hot keys because signatures of distinct docs collide per-band with
     probability j^rows.
+
+    kernel='numpy' (default) computes signatures in the Arrow matvec
+    kernel — measured 6.5x faster than the 64-expression JVM path
+    (2.7 s vs 17.7 s at sf0.1/local[32]) with bit-identical signatures
+    (pytest-enforced); kernel='jvm' keeps the pure-Catalyst form whose
+    expression shape mirrors the DuckDB oracle SQL.
     """
     rows_per_band = n_hashes // bands
-    sig = minhash_signatures(docs, k, n_hashes)
+    sig = (
+        minhash_signatures_numpy(docs, k, n_hashes)
+        if kernel == "numpy"
+        else minhash_signatures(docs, k, n_hashes)
+    )
     banded = sig.select(
         "doc_id",
         "sig",

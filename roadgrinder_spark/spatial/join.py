@@ -171,23 +171,28 @@ def knn_join(
     cand = with_dist2(cand)
     r2 = F.lit(float(radius_m) ** 2)
     if k == 1:
-        # top-1 as an AGGREGATE: min over struct(dist2, road_id). Struct
-        # buffers compile to SortAggregate (not hash), but the partial
-        # phase sorts by GROUP KEY only and keeps one row per point per
-        # partition — measured ~2x faster than the window path, and the
-        # shuffle carries ~1 row per point. Struct comparison is field-
-        # lexicographic = the window's orderBy.
+        # top-1 as an AGGREGATE: min(dist2) + min_by over the unique
+        # ordering struct(dist2, road_id) — deterministic (the ordering
+        # key is unique per candidate). Struct-ordered min_by still
+        # compiles to SortAggregate (struct buffers are not hash-
+        # aggregable), but the partial phase sorts by GROUP KEY only and
+        # emits ~1 row per point, so the exchange is tiny. VERDICT r1 #6
+        # measured at sf0.1/local[32]: this form 1.61 s vs 1.77 s for
+        # min(struct) and 2.84 s for a two-pass HashAggregate
+        # (min(dist2) then join-back + min(road_id)) — the hash-agg
+        # rewrite LOSES because the candidate join is recomputed; and an
+        # exact packed-bigint key is unbuildable (no double->bits
+        # builtin; 63 dist2 bits + road_id exceed 64 bits).
         best = (
             cand.groupBy("point_id", "cell")
-            .agg(F.min(F.struct("dist2", "road_id")).alias("b"))
-            .filter(F.col("b.dist2") <= r2)
+            .agg(
+                F.min("dist2").alias("dist2"),
+                F.min_by("road_id", F.struct("dist2", "road_id")).alias("road_id"),
+            )
+            .filter(F.col("dist2") <= r2)
         )
         return best.select(
-            "point_id",
-            F.col("b.road_id").alias("road_id"),
-            F.lit(1).alias("rank"),
-            F.col("b.dist2").alias("dist2"),
-            "cell",
+            "point_id", "road_id", F.lit(1).alias("rank"), "dist2", "cell"
         )
     w = Window.partitionBy("point_id").orderBy(F.col("dist2").asc(), F.col("road_id").asc())
     return (
@@ -328,6 +333,12 @@ def geocode_match(
         "dist2", "GLOBALID_SGID", "side", "addnum",
         "addr_from", "addr_to", "x1", "y1", "x2", "y2",
     )
+    # min(payload) measured FASTER here than the knn-style min_by form
+    # (1.65 s vs 1.86 s at sf0.1/local[32]): min_by's buffer carries
+    # payload + ordering struct, while min's carries payload only and the
+    # leading (dist2, gid, side) fields already define the order. See
+    # knn_join for the full SortAggregate-vs-HashAggregate measurements
+    # (VERDICT r1 #6).
     best = (
         cand.groupBy("point_id")
         .agg(F.min(payload).alias("b"))

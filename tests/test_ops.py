@@ -63,6 +63,16 @@ def test_minhash_estimates_track_true_jaccard(spark, docs):
     assert len(got) == 1 and got[0]["est_jaccard"] == 1.0
 
 
+def test_minhash_numpy_kernel_bit_identical(spark, docs):
+    """Arrow/numpy signature kernel == JVM expression path, bit-for-bit."""
+    j = {r["doc_id"]: list(r["sig"]) for r in dedup.minhash_signatures(docs).collect()}
+    n = {
+        r["doc_id"]: list(r["sig"])
+        for r in dedup.minhash_signatures_numpy(docs).collect()
+    }
+    assert j == n and len(j) > 0
+
+
 def test_simhash_identical_docs_zero_hamming(spark, docs):
     one = docs.limit(1)
     clone = one.select((F.col("doc_id") + 99999).alias("doc_id"), "text", "lang",
