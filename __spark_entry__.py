@@ -27,6 +27,7 @@ from roadgrinder_spark.schemas import ROADS_SCHEMA
 from roadgrinder_spark.functions import text as T
 from roadgrinder_spark.operators import dedup, events, media, spans, vectors
 from roadgrinder_spark.operators import roadgrinder as rg
+from roadgrinder_spark.sources import constraints
 from roadgrinder_spark.spatial import cells as sc
 from roadgrinder_spark.spatial import join as sj
 from roadgrinder_spark.spatial import grouped as sg
@@ -140,6 +141,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["validation_counts"] = lambda s, d: rg.validation_counts(
         _roads(s, d), _pnts(s, d)
     )
+    q["constraint_audit"] = lambda s, d: constraints.audit_constraints(
+        rg.explode_aliases(_roads(s, d)).geocode_roads,
+        constraints.GEOCODE_ROADS_SPEC,
+    )
 
     # -- dedup family -------------------------------------------------------
     q["dedup_exact"] = lambda s, d: dedup.dedup_exact(_docs(s, d))
@@ -243,6 +248,18 @@ def oracle_sql() -> dict[str, str]:
     ).replace("WITH ", "WITH RECURSIVE ", 1)
     o["raster_to_vector"] = _with(sr.oracle_raster_to_vector_sql(), P)
     o["validation_counts"] = _with(rg.ORACLE_VALIDATION_COUNTS, R, P)
+    o["constraint_audit"] = _with(
+        *_split_body(
+            # oracle_constraint_sql emits "_cwide AS (...)\nSELECT ..." —
+            # the geocode_roads relation comes from the X1 oracle CTEs
+            "gcr AS (" + rg.ORACLE_GEOCODE_ROADS + "),\n"
+            + constraints.oracle_constraint_sql(
+                "gcr", constraints.GEOCODE_ROADS_SPEC
+            )
+        ),
+        R,
+        S,
+    )
 
     o["dedup_exact"] = dedup.ORACLE_DEDUP_EXACT
     o["ngram_jaccard"] = _with(

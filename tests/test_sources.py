@@ -54,3 +54,23 @@ def test_write_spatial_sorted(spark, tmp_path_factory):
     v = write_spatial(cat, "s", df, n_buckets=4)
     back = cat.read("s", v)
     assert back.count() == 1000 and "_morton" in back.columns
+
+
+def test_constraint_audit_and_enforce(spark):
+    """S5 CHAR/non-null audit: clean derived output has zero violations;
+    an over-length + null row trips enforce_constraints."""
+    from roadgrinder_spark import datagen
+    from roadgrinder_spark.operators import roadgrinder as rg
+    from roadgrinder_spark.sources import constraints as C
+
+    gcr = rg.explode_aliases(datagen.derive_roads(spark, "/root/testdata/sf0.001")).geocode_roads
+    audit = C.audit_constraints(gcr, C.GEOCODE_ROADS_SPEC)
+    rows = {r["chk"]: r["violations"] for r in audit.collect()}
+    assert len(rows) == 13 and all(v == 0 for v in rows.values())
+    C.enforce_constraints(gcr, C.GEOCODE_ROADS_SPEC)  # no raise
+
+    bad = gcr.limit(1).withColumn("PREDIR", F.lit("TOOLONG")).unionByName(
+        gcr.limit(1).withColumn("NAME", F.lit(None).cast("string"))
+    )
+    with pytest.raises(ValueError, match="constraint violations"):
+        C.enforce_constraints(bad, C.GEOCODE_ROADS_SPEC)
