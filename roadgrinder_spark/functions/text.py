@@ -183,8 +183,10 @@ def fingerprint_frame(
     """(doc_id, fingerprint: md5 string of the winnowed minima set) —
     staged through withColumn so the gram array is computed once per doc
     (Catalyst does not CSE expressions repeated inside lambdas)."""
+    from ..session import spread_input
+
     return (
-        docs.withColumn(
+        spread_input(docs).withColumn(
             "_gs",
             F.expr(
                 f"transform(sequence(1, greatest(1, length({text_col}) - {k - 1})), "

@@ -41,11 +41,13 @@ def brute_force_topk(
     vec_ids (self-match excluded). Returns (query_id, neighbor_id, rank,
     cos) with cos rounded to 6 dp and rank computed on the rounded value.
     """
+    from ..session import spread_input
+
     q = embeddings.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     pairs = (
-        embeddings.crossJoin(F.broadcast(q))
+        spread_input(embeddings).crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -197,7 +199,11 @@ def ivf_topk(
                 }
             )
 
-    assigned = spark_embeddings.mapInPandas(assign_batches, schema=assign_schema)
+    from ..session import spread_input
+
+    assigned = spread_input(spark_embeddings).mapInPandas(
+        assign_batches, schema=assign_schema
+    )
     corpus = spark_embeddings.join(assigned, "vec_id")
 
     # queries → their nprobe nearest centroids (tiny, driver-side math)

@@ -44,6 +44,19 @@ def ship_package(spark: SparkSession) -> None:
     spark._rg_pkg_shipped = True
 
 
+def spread_input(df):
+    """Repartition tiny inputs up to the session's parallelism.
+
+    The driver's testdata parquet tables are single small files → one
+    partition, so downstream explode/kernel stages run single-threaded
+    without this (round-2 profiling: 4 serial 1-task stages inside
+    ngram_jaccard). On a real multi-file table this is a no-op."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def build_session(
     app_name: str = "roadgrinder-spark",
     master: str | None = None,

@@ -280,11 +280,14 @@ def geocode_match(
     if hash_keys:
         # signature dictionary-encoding: join on TWO independent xxhash64
         # digests of the 5-string street signature instead of the strings.
-        # Probing a long-keyed hash relation avoids per-pair 5-string
-        # compares (~27% faster and better core-scaling measured on the
-        # string-heavy flagship). False pair probability <= 2^-128 per
+        # Round-1 measured it ~27% faster when the datagen CTEs ran
+        # inline; round-2, with parquet-backed inputs, the STRKEY path
+        # wins (2.1-2.7 s vs 3.2-3.4 s interleaved at sf0.1) — the hash
+        # projections cost more than the string-compare savings once the
+        # scan is columnar. Kept as an option for string-heavy corpora
+        # with long signatures. False pair probability <= 2^-128 per
         # candidate — astronomically below any practical corpus size, but
-        # NOT exactly zero: keep the default strkey path where bit-exact
+        # NOT exactly zero: strkey stays the default, where bit-exact
         # parity is contractual.
         sides = sides.withColumn(
             "_k1", F.xxhash64("addrsys", "NAME", "POSTTYPE", "POSTDIR", "PREDIR")
