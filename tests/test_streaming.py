@@ -89,3 +89,44 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path_factory):
     finally:
         q.stop()
     assert got == want
+
+
+def test_streaming_geocode_matches_batch_and_resumes(spark, tmp_path_factory):
+    """foreachBatch streaming geocode: (1) full availableNow drain equals
+    the batch matcher row-for-row; (2) restart from checkpoint processes
+    ONLY newly-arrived files and the union equals the bigger batch run."""
+    from roadgrinder_spark import datagen
+    from roadgrinder_spark.operators import roadgrinder as rg
+    from roadgrinder_spark.spatial.join import geocode_match
+    from roadgrinder_spark.streaming.geocode import (
+        POINTS_STREAM_SCHEMA,
+        read_streamed_matches,
+        streaming_geocode_match,
+    )
+
+    base = tmp_path_factory.mktemp("stream_geocode")
+    src, out, ckpt = str(base / "src"), str(base / "out"), str(base / "ckpt")
+    roads = datagen.derive_roads(spark, SF_DIR)
+    gcr = rg.explode_aliases(roads).geocode_roads
+    pnts = datagen.derive_addrpnts(spark, SF_DIR).select(
+        *[f.name for f in POINTS_STREAM_SCHEMA.fields]
+    )
+    first = pnts.filter(pnts.objectid % 2 == 0)
+    second = pnts.filter(pnts.objectid % 2 == 1)
+    first.coalesce(2).write.mode("overwrite").parquet(src)
+
+    q = streaming_geocode_match(spark, src, gcr, out, ckpt)
+    q.awaitTermination()
+    got = {tuple(r) for r in read_streamed_matches(spark, out).drop("batch").collect()}
+    want = {tuple(r) for r in geocode_match(first, gcr).collect()}
+    assert got == want and len(got) > 0
+
+    # arrive more files, resume from checkpoint
+    second.coalesce(2).write.mode("append").parquet(src)
+    q2 = streaming_geocode_match(spark, src, gcr, out, ckpt)
+    q2.awaitTermination()
+    got_all = {
+        tuple(r) for r in read_streamed_matches(spark, out).drop("batch").collect()
+    }
+    want_all = {tuple(r) for r in geocode_match(pnts, gcr).collect()}
+    assert got_all == want_all and len(got_all) > len(got)
