@@ -165,6 +165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["token_count_bpe"] = lambda s, d: _docs(s, d).select(
         "doc_id", T.bpe_ish_token_count(F.col("text")).alias("n_subwords")
     )
+    q["bigram_lm_scores"] = lambda s, d: T.bigram_lm_scores(_docs(s, d))
     q["dedup_embedding"] = lambda s, d: (
         ship_package(s), dedup.embedding_near_dups(_embs(s, d))
     )[1]
@@ -286,6 +287,7 @@ def oracle_sql() -> dict[str, str]:
     o["minhash_lsh"] = _with(*_split_body(dedup.oracle_minhash_lsh_sql(threshold=0.3)))
     o["simhash_pairs"] = _with(*_split_body(dedup.oracle_simhash_pairs_sql(max_hamming=16)))
     o["doc_fingerprints"] = _with(*_split_body(T.oracle_fingerprint_sql()))
+    o["bigram_lm_scores"] = _with(*_split_body(T.oracle_bigram_lm_sql()))
     # media trio: the decode stub is md5-arithmetic, which DuckDB can
     # reproduce exactly (media.py oracle builders)
     M = media.oracle_media_cte()

@@ -237,9 +237,74 @@ FROM fp_w WHERE pos <= greatest(1, n - {window - 1}) GROUP BY doc_id"""
 
 
 # ---------------------------------------------------------------------------
-# BPE-ish subword token counting (letters-run | digit-run | punct char) —
-# the pre-tokenizer split most BPE vocabularies start from.
+# corpus char-bigram LM quality score: two-pass (corpus statistics -> per-
+# doc scoring). Score = mean log transition probability
+# avg ln(c(ab)/c(a·)) over a doc's bigram occurrences — the standard
+# char-LM quality signal (garbage text scores far lower). ln() is 1-ulp
+# libm-accurate in both engines; after a 300-term mean and round(6) the
+# residual cross-engine risk is ~1e-9 per doc (same order as the
+# double-summation reorder already accepted for avg()).
+#
+# Scale: the LM table is charset²-sized (tiny) -> broadcast join; the
+# per-doc pass is one explode + broadcast lookups + a hash aggregate.
 # ---------------------------------------------------------------------------
+
+
+def bigram_lm_scores(docs, text_col: str = "text"):
+    """(doc_id, n_bigrams, lm_score): corpus-bigram transition-probability
+    mean per document, rounded to 6 dp for engine-portable hashing."""
+    from ..session import spread_input
+
+    bgs = (
+        spread_input(docs)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(1, length({text_col}) - 1)), "
+                    f"i -> substring({text_col}, i, 2))"
+                )
+            ).alias("bg"),
+        )
+        .filter(F.length("bg") == 2)
+    )
+    lm_bg = bgs.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    lm_pre = (
+        bgs.select(F.substring("bg", 1, 1).alias("pre"))
+        .groupBy("pre")
+        .agg(F.count(F.lit(1)).alias("c_pre"))
+    )
+    scored = (
+        bgs.join(F.broadcast(lm_bg), "bg")
+        .withColumn("pre", F.substring("bg", 1, 1))
+        .join(F.broadcast(lm_pre), "pre")
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.log(F.col("c_bg") / F.col("c_pre"))), 6).alias("lm_score"),
+        )
+    )
+
+
+def oracle_bigram_lm_sql() -> str:
+    return """
+lm_bgs AS (
+  SELECT d.doc_id, substring(d.text, CAST(p.pos AS INT), 2) AS bg
+  FROM documents d,
+       LATERAL (SELECT unnest(range(1, greatest(1, length(d.text) - 1) + 1)) AS pos) p
+  WHERE length(substring(d.text, CAST(p.pos AS INT), 2)) = 2
+),
+lm_bg AS (SELECT bg, count(*) AS c_bg FROM lm_bgs GROUP BY bg),
+lm_pre AS (SELECT substring(bg, 1, 1) AS pre, count(*) AS c_pre
+           FROM lm_bgs GROUP BY 1)
+SELECT b.doc_id, count(*) AS n_bigrams,
+       round(avg(ln(g.c_bg / p.c_pre)), 6) AS lm_score
+FROM lm_bgs b
+JOIN lm_bg g ON g.bg = b.bg
+JOIN lm_pre p ON p.pre = substring(b.bg, 1, 1)
+GROUP BY b.doc_id"""
 
 BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 

@@ -186,3 +186,22 @@ def test_events_oracles(spark, duck, evts):
 
 def test_events_cube_oracle(spark, duck, evts):
     assert_frames_match(events.events_cube(evts), duck.sql(events.ORACLE_EVENTS_CUBE).df())
+
+
+def test_bigram_lm_score_ranks_garbage_below_corpus_text(spark, duck, docs):
+    """Corpus-statistics LM scoring: a doc of uniform-random characters
+    scores below every genuine corpus doc; oracle parity holds."""
+    import random
+
+    rng = random.Random(7)
+    junk = "".join(chr(rng.randint(33, 126)) for _ in range(300))
+    aug = docs.select("doc_id", "text").unionByName(
+        spark.createDataFrame([(999999, junk)], "doc_id long, text string")
+    )
+    scores = {r["doc_id"]: r["lm_score"] for r in T.bigram_lm_scores(aug).collect()}
+    junk_score = scores.pop(999999)
+    assert junk_score < min(scores.values())
+    assert_frames_match(
+        T.bigram_lm_scores(docs),
+        duck.sql("WITH " + T.oracle_bigram_lm_sql().strip()).df(),
+    )
