@@ -172,7 +172,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # -- similarity search --------------------------------------------------
     q["ann_brute_topk"] = lambda s, d: vectors.brute_force_topk(_embs(s, d))
-    q["ann_ivf_topk"] = lambda s, d: (ship_package(s), vectors.ivf_topk(_embs(s, d)))[1]
+    # the driver-checked IVF entry runs the fully DuckDB-reproducible
+    # variant (stride centroids + rounded JVM-fold assignment) so even the
+    # approximate operator is value-hash-checked; the k-means/numpy
+    # quality path (vectors.ivf_topk) is recall-pytested in tests/.
+    q["ann_ivf_topk"] = lambda s, d: vectors.ivf_topk_checkable(_embs(s, d))
 
     # -- events -------------------------------------------------------------
     q["hourly_rollup"] = lambda s, d: events.hourly_rollup(_events(s, d))
@@ -273,6 +277,7 @@ def oracle_sql() -> dict[str, str]:
         f"round({T.quality_score_sql('text')}, 6) AS quality FROM documents"
     )
     o["ann_brute_topk"] = _with(*_split_body(vectors.oracle_brute_force_topk_sql()))
+    o["ann_ivf_topk"] = _with(*_split_body(vectors.oracle_ivf_topk_sql()))
     o["token_count_bpe"] = (
         f"SELECT doc_id, {T.bpe_ish_token_count_sql('text')} AS n_subwords "
         "FROM documents"

@@ -96,6 +96,137 @@ def _assign_numpy(emb: np.ndarray, cents: np.ndarray) -> np.ndarray:
     return np.argmax(e @ c.T, axis=1).astype(np.int64)
 
 
+def ivf_topk_checkable(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 6,
+    assign_r: int = 2,
+) -> DataFrame:
+    """IVF top-k whose ENTIRE algorithm is DuckDB-reproducible, so the
+    approximate result is still value-hash-checkable (closing the last
+    rows-only driver row). Differences from ivf_topk: deterministic
+    stride-sampled centroids (no float k-means), and centroid assignment
+    via the JVM sequential-fold cosine (same expression shape as the
+    oracle's list_cosine_similarity) ranked on round(cs, 9) with centroid
+    tiebreak — bucket membership is a pure function both engines compute
+    identically. ivf_topk (k-means + numpy) remains the quality/scale
+    path with its recall pytest."""
+    from pyspark.sql import Window
+
+    n_total = embeddings.count()
+    stride = max(1, n_total // n_centroids)
+    cent_rows = (
+        embeddings.filter(F.col("vec_id") % stride == 0)
+        .orderBy("vec_id")
+        .limit(n_centroids)
+        .collect()
+    )
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cid"),
+                F.array(*[F.lit(float(v)) for v in r["embedding"]]).alias("cemb"),
+            )
+            for i, r in enumerate(cent_rows)
+        ]
+    )
+    scored = (
+        embeddings.withColumn("_c", F.explode(cent_arr))
+        .select(
+            "vec_id",
+            "embedding",
+            F.col("_c.cid").alias("cid"),
+            F.round(cosine_expr("embedding", "_c.cemb"), 9).alias("cs"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("cid").asc())
+    ranked = scored.withColumn("_rn", F.row_number().over(w))
+    corpus = ranked.filter(F.col("_rn") <= assign_r).select(
+        "vec_id", "embedding", "cid"
+    )
+    probes = (
+        ranked.filter((F.col("vec_id") < n_queries) & (F.col("_rn") <= nprobe))
+        .select(F.col("vec_id").alias("query_id"), "cid")
+    )
+    q = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    cand = (
+        corpus.join(probes, "cid")
+        .select("query_id", "vec_id", "embedding")
+        .dropDuplicates(["query_id", "vec_id"])
+        .join(F.broadcast(q), "query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_expr("q_emb", "embedding"), 6).alias("cos"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def oracle_ivf_topk_sql(
+    n_queries: int = 10,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 6,
+    assign_r: int = 2,
+) -> str:
+    """DuckDB mirror of ivf_topk_checkable — same stride centroids, same
+    rounded-cosine assignment ranking, same probe/bucket/rerank steps."""
+    return f"""
+iv_n AS (SELECT count(*) AS n FROM embeddings),
+iv_cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         CAST(embedding AS DOUBLE[]) AS cemb
+  FROM embeddings
+  WHERE vec_id % (SELECT greatest(1, CAST(FLOOR(n / {n_centroids}) AS BIGINT)) FROM iv_n) = 0
+  ORDER BY vec_id LIMIT {n_centroids}
+),
+iv_scored AS (
+  SELECT e.vec_id, c.cid,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cemb), 9) AS cs
+  FROM embeddings e, iv_cent c
+),
+iv_ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS _rn
+  FROM iv_scored
+),
+iv_corpus AS (SELECT vec_id, cid FROM iv_ranked WHERE _rn <= {assign_r}),
+iv_probes AS (
+  SELECT vec_id AS query_id, cid FROM iv_ranked
+  WHERE vec_id < {n_queries} AND _rn <= {nprobe}
+),
+iv_cand AS (
+  SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+  FROM iv_corpus c JOIN iv_probes p ON p.cid = c.cid
+  WHERE c.vec_id <> p.query_id
+),
+iv_rr AS (
+  SELECT ca.query_id, ca.neighbor_id,
+         round(list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),
+                                      CAST(en.embedding AS DOUBLE[])), 6) AS cos
+  FROM iv_cand ca
+  JOIN embeddings eq ON eq.vec_id = ca.query_id
+  JOIN embeddings en ON en.vec_id = ca.neighbor_id
+)
+SELECT query_id, neighbor_id, rank, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rank
+  FROM iv_rr
+) WHERE rank <= {k}"""
+
+
 def kmeans_centroids(
     spark_embeddings: DataFrame,
     n_centroids: int = 16,

@@ -205,3 +205,19 @@ def test_bigram_lm_score_ranks_garbage_below_corpus_text(spark, duck, docs):
         T.bigram_lm_scores(docs),
         duck.sql("WITH " + T.oracle_bigram_lm_sql().strip()).df(),
     )
+
+
+def test_ivf_checkable_recall_and_contains_results(spark, duck):
+    """The DuckDB-reproducible IVF variant still finds most true
+    neighbors, and its oracle matches exactly."""
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    bf = {(r.query_id, r.neighbor_id) for r in vectors.brute_force_topk(embs).collect()}
+    iv = {
+        (r.query_id, r.neighbor_id)
+        for r in vectors.ivf_topk_checkable(embs).collect()
+    }
+    assert len(bf & iv) / len(bf) >= 0.6  # stride centroids: weaker than k-means
+    assert_frames_match(
+        vectors.ivf_topk_checkable(embs),
+        duck.sql("WITH " + vectors.oracle_ivf_topk_sql().strip()).df(),
+    )

@@ -130,3 +130,34 @@ def test_streaming_geocode_matches_batch_and_resumes(spark, tmp_path_factory):
     }
     want_all = {tuple(r) for r in geocode_match(pnts, gcr).collect()}
     assert got_all == want_all and len(got_all) > len(got)
+
+
+def test_streaming_exact_dedup_suppresses_in_horizon_dups(spark, tmp_path_factory):
+    """dropDuplicatesWithinWatermark dedup: planted duplicates inside the
+    watermark horizon are emitted once; distinct texts all pass through."""
+    import datetime
+
+    from roadgrinder_spark.streaming.dedup import streaming_exact_dedup
+
+    src = tmp_path_factory.mktemp("docs_stream")
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    for i in range(50):
+        rows.append((i, f"text body {i}", base + datetime.timedelta(minutes=i)))
+    # duplicates of texts 0..9, 5 minutes after the originals
+    for i in range(10):
+        rows.append((1000 + i, f"text body {i}", base + datetime.timedelta(minutes=i + 5)))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, ts timestamp"
+    ).coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    res = streaming_exact_dedup(spark, str(src))
+    q = (
+        res.writeStream.format("memory").queryName("dedup_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM dedup_stream").collect()
+    md5s = [r["text_md5"] for r in got]
+    assert len(md5s) == 50 and len(set(md5s)) == 50  # one per distinct text
+    assert all(r["doc_id"] < 1000 for r in got)  # originals won, dups dropped
