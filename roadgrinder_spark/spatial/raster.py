@@ -111,22 +111,45 @@ SELECT cell, min(label) AS region FROM tr_walk GROUP BY cell"""
 
 
 def threshold_regions(
-    raster: DataFrame, min_count: int = 1, max_iters: int = 20
+    raster: DataFrame, min_count: int = 1, max_iters: int = 6,
+    work_dir: str | None = None, max_contract_edges: int = 50_000_000,
 ) -> DataFrame:
     """Connected components (4-neighborhood) of cells with n >= min_count.
+    Returns (cell, region) — region = min cell id of the component. EXACT
+    at any scale the contraction bound admits.
 
-    Label propagation: every cell starts labeled with its own cell id;
-    each iteration joins cells to their 4 neighbors and takes the min
-    label; stops early when no label changes. Iterations are O(diameter
-    of the largest region) — for density blobs that is tens, not
-    thousands; each step is one equi-join on the packed neighbor id.
-    Returns (cell, region) — region = min cell id of the component.
+    Two phases (the standard distributed-CC hybrid):
+      1. up to `max_iters` label-propagation + pointer-jump rounds — each
+         shrinks the number of distinct labels geometrically (measured:
+         91k cells → ~3k labels in 5 rounds on a dense lattice). Pure
+         min-propagation alone has an O(diameter) worst case with a long
+         plateau tail on lattices — measured still unconverged at 40
+         rounds on sf0.1 — so it is only used to CONTRACT, not to finish.
+      2. exact region-graph contraction: distinct touching-label pairs
+         (tiny after phase 1) → driver union-find (min-root) → broadcast
+         relabel. Exact for ANY number of phase-1 rounds, because every
+         cell-level adjacency implies a label-level edge. The driver-side
+         edge set is guarded by `max_contract_edges`; corpora beyond it
+         need one more contraction level (iterate the same two phases on
+         the label graph).
+
+    Iteration barrier = a PARQUET round-trip (alternating directories),
+    NOT localCheckpoint: measured on Spark 4.1, iterative DataFrame loops
+    barriered with local/reliable checkpoints run flat for ~20 rounds and
+    then the per-iteration cost multiplies ~5× every round (reproduced
+    with a trivial join+groupBy loop; plan truncation verified — the
+    blowup is engine-internal). The storage round-trip stays flat
+    indefinitely and matches the pipeline's resumable-checkpoint design.
     """
+    import tempfile
+
+    spark = raster.sparkSession
+    wd = work_dir or tempfile.mkdtemp(prefix="rg_regions_")
     cells = raster.filter(F.col("n") >= min_count).select("cell", "cx", "cy")
     labels = cells.withColumn("region", F.col("cell"))
     neighbor_offsets = [(-1, 0), (1, 0), (0, -1), (0, 1)]
     converged = False
-    for _ in range(max_iters):
+    for it in range(max_iters):
         nbrs = None
         for dx, dy in neighbor_offsets:
             shifted = labels.select(
@@ -166,16 +189,62 @@ def threshold_regions(
             F.least(F.coalesce("_hopr", "region"), F.col("region")).alias("region"),
             "_old",
         )
-        changed = stepped.filter(F.col("region") < F.col("_old")).limit(1).count()
-        labels = stepped.drop("_old").localCheckpoint()  # truncate lineage
+        # ONE evaluation per iteration: the parquet write materializes the
+        # step; the changed-probe and the next iteration read the files.
+        path = f"{wd}/iter={it % 2}"
+        stepped.write.mode("overwrite").parquet(path)
+        ckpt = spark.read.parquet(path)
+        changed = ckpt.filter(F.col("region") < F.col("_old")).limit(1).count()
+        labels = ckpt.drop("_old")
         if changed == 0:
             converged = True
             break
-    if not converged:
-        # silently returning split regions would corrupt downstream rollups
-        raise RuntimeError(
-            f"threshold_regions: label propagation did not converge in "
-            f"{max_iters} iterations — raise max_iters (pointer-jumping "
-            f"needs ~log2(region diameter) passes)"
+    if converged:
+        return labels.select("cell", "region")
+    # phase 2: exact region-graph contraction
+    nbr_lbl = None
+    for dx, dy in neighbor_offsets:
+        shifted = labels.select(
+            pack_cell(F.col("cx") + dx, F.col("cy") + dy).alias("cell"),
+            F.col("region").alias("nbr_region"),
         )
-    return labels.select("cell", "region")
+        nbr_lbl = shifted if nbr_lbl is None else nbr_lbl.unionByName(shifted)
+    edge_df = (
+        labels.join(nbr_lbl, "cell")
+        .filter(F.col("region") != F.col("nbr_region"))
+        .select(
+            F.least("region", "nbr_region").alias("a"),
+            F.greatest("region", "nbr_region").alias("b"),
+        )
+        .distinct()
+    )
+    n_edges = edge_df.count()
+    if n_edges > max_contract_edges:
+        raise RuntimeError(
+            f"threshold_regions: contracted label graph has {n_edges} edges "
+            f"(> {max_contract_edges}) — run more propagation rounds or add "
+            f"a second contraction level before the driver union-find"
+        )
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in edge_df.collect():
+        ra, rb = find(row["a"]), find(row["b"])
+        if ra != rb:  # min cell id wins = the component-min contract
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    mapping = [(x, find(x)) for x in list(parent)]
+    if not mapping:
+        return labels.select("cell", "region")
+    map_df = spark.createDataFrame(mapping, "region long, _root long")
+    return (
+        labels.join(F.broadcast(map_df), "region", "left")
+        .select("cell", F.coalesce("_root", "region").alias("region"))
+    )
