@@ -85,8 +85,14 @@ def oracle_threshold_regions_sql(
 ) -> str:
     """DuckDB recursive-CTE oracle for threshold_regions: transitive
     closure over the 4-neighborhood edge set, then min label per cell —
-    identical semantics to the distributed label propagation. Needs the
-    `addrpnts` CTE in scope and a WITH RECURSIVE prefix."""
+    identical semantics to the distributed hybrid. Needs the `addrpnts`
+    CTE in scope and a WITH RECURSIVE prefix.
+
+    NOTE the asymmetry: this closure is O(Σ component²) rows — fine at
+    the sf0.01 correctness gate (small components), infeasible for the
+    giant lattice component at sf0.1+ (DuckDB overflows). The ENGINE side
+    is the scalable one (contraction + union-find); the oracle is a spec,
+    not a scale path."""
     return f"""
 tr_rast AS (
   SELECT CAST(FLOOR(px / {cell_size}) AS BIGINT) AS cx,
