@@ -151,6 +151,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(
         _docs(s, d), threshold=0.25, max_df=100
     )
+    q["dedup_clusters"] = lambda s, d: dedup.dedup_clusters(
+        _docs(s, d), threshold=0.25, max_df=100
+    )
     q["minhash_lsh"] = lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d), threshold=0.3)
     q["simhash_pairs"] = lambda s, d: dedup.simhash_near_pairs(_docs(s, d), max_hamming=16)
 
@@ -289,6 +292,9 @@ def oracle_sql() -> dict[str, str]:
     o["top_users"] = _with(*_split_body(events.oracle_top_users_sql()))
     # hash-dedup family: portable polynomial base hash (functions/phash.py)
     # makes minhash/simhash/fingerprints value-checkable in DuckDB
+    o["dedup_clusters"] = _with(
+        *_split_body(dedup.oracle_dedup_clusters_sql(threshold=0.25, max_df=100))
+    ).replace("WITH ", "WITH RECURSIVE ", 1)
     o["minhash_lsh"] = _with(*_split_body(dedup.oracle_minhash_lsh_sql(threshold=0.3)))
     o["simhash_pairs"] = _with(*_split_body(dedup.oracle_simhash_pairs_sql(max_hamming=16)))
     o["doc_fingerprints"] = _with(*_split_body(T.oracle_fingerprint_sql()))

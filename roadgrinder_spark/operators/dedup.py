@@ -300,6 +300,83 @@ def minhash_lsh_pairs(
     )
 
 
+def dedup_clusters(
+    docs: DataFrame,
+    k: int = 8,
+    threshold: float = 0.5,
+    max_df: int = 1000,
+    max_edges: int = 50_000_000,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the exact
+    ngram-Jaccard pair graph. One row per clustered doc:
+    (doc_id, cluster_id = min doc_id of the component, is_keeper).
+    The keep-one-per-cluster policy most training pipelines want.
+
+    The edge list is output-bounded (it IS the near-dup pair set), so the
+    driver union-find with min-root is exact and cheap; `max_edges`
+    guards the collect — beyond it, contract first with label
+    propagation (see spatial/raster.threshold_regions phase 1)."""
+    pairs = ngram_jaccard_pairs(docs, k=k, threshold=threshold, max_df=max_df)
+    edges = pairs.select("doc_a", "doc_b")
+    n_edges = edges.count()
+    if n_edges > max_edges:
+        raise RuntimeError(
+            f"dedup_clusters: {n_edges} near-dup edges exceed max_edges="
+            f"{max_edges} — contract with label propagation first"
+        )
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    rows = edges.collect()
+    nodes = set()
+    for r in rows:
+        a, b = r["doc_a"], r["doc_b"]
+        nodes.update((a, b))
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    mapping = [(int(d), int(find(d))) for d in sorted(nodes)]
+    spark = docs.sparkSession
+    out = spark.createDataFrame(mapping, "doc_id long, cluster_id long")
+    return out.select(
+        "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper")
+    )
+
+
+def oracle_dedup_clusters_sql(
+    k: int = 8, threshold: float = 0.5, max_df: int = 1000
+) -> str:
+    """DuckDB mirror: recursive closure over the same pair graph (pair
+    components are near-dup clusters — small — so the closure is cheap).
+    Needs a WITH RECURSIVE prefix."""
+    inner = oracle_ngram_jaccard_sql(k=k, threshold=threshold, max_df=max_df)
+    idx = inner.rfind("\nSELECT")
+    ctes, body = inner[:idx].strip().rstrip(","), inner[idx + 1 :]
+    return f"""{ctes},
+dc_pairs AS (SELECT doc_a, doc_b FROM ({body})),
+dc_nodes AS (SELECT doc_a AS d FROM dc_pairs UNION SELECT doc_b FROM dc_pairs),
+dc_edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM dc_pairs
+  UNION ALL SELECT doc_b, doc_a FROM dc_pairs
+),
+dc_walk(d, label) AS (
+  SELECT d, d FROM dc_nodes
+  UNION
+  SELECT e.a, w.label FROM dc_walk w JOIN dc_edges e ON e.b = w.d
+)
+SELECT d AS doc_id, min(label) AS cluster_id,
+       d = min(label) AS is_keeper
+FROM dc_walk GROUP BY d"""
+
+
 def oracle_minhash_lsh_sql(
     k: int = 8, n_hashes: int = 64, bands: int = 8, threshold: float = 0.5
 ) -> str:

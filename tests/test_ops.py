@@ -221,3 +221,22 @@ def test_ivf_checkable_recall_and_contains_results(spark, duck):
         vectors.ivf_topk_checkable(embs),
         duck.sql("WITH " + vectors.oracle_ivf_topk_sql().strip()).df(),
     )
+
+
+def test_dedup_clusters_transitive(spark, docs):
+    """A~B and B~C near-dups (A!~C directly) must land in ONE cluster with
+    the min doc_id as keeper — connected components, not pairwise keep."""
+    base = docs.limit(1).collect()[0]["text"]
+    half = len(base) // 2
+    rows = [
+        (900001, base),
+        (900002, base[:half] + " xxxxx " + base[half:]),   # ~ A
+        (900003, base[: half // 2] + " yyyy " + base[half // 2:half]
+         + " xxxxx " + base[half:]),                        # ~ B, farther from A
+    ]
+    aug = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["cluster_id"], r["is_keeper"])
+           for r in dedup.dedup_clusters(aug, threshold=0.3, max_df=10**9).collect()}
+    assert set(out) == {900001, 900002, 900003}
+    assert all(c == 900001 for c, _ in out.values())
+    assert out[900001][1] and not out[900002][1] and not out[900003][1]
