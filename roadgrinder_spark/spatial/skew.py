@@ -56,7 +56,11 @@ def salted_cell_join(
             ).otherwise(F.array(F.lit(0)))
         ),
     ).drop("_hot")
-    return big.join(rep, [key, "_salt"]).drop("_salt")
+    # shuffle-hash, matching knn_join's default: rebuilding a broadcast
+    # relation of the (salt-expanded) cover per job measured slower than
+    # the exchange, and the salted path exists precisely because the key
+    # space is too hot/big to broadcast away
+    return big.join(rep.hint("shuffle_hash"), [key, "_salt"]).drop("_salt")
 
 
 def salted_equi_join(
@@ -96,4 +100,4 @@ def salted_equi_join(
         ),
     ).drop("_hot")
     _ = kc  # composite key struct kept for future stats hooks
-    return big.join(rep, [*keys, "_salt"]).drop("_salt")
+    return big.join(rep.hint("shuffle_hash"), [*keys, "_salt"]).drop("_salt")
