@@ -4,10 +4,12 @@ entry(spark)   — flagship: derive SGID-shaped inputs from sf0.001, pack
                  them into the interleaved span-document substrate, unpack,
                  run the alias pipeline and the spatial geocode match.
 queries()      — one entry per implemented operator (SURVEY.md §2).
-oracle_sql()   — DuckDB-equivalent SQL for every value-checkable operator;
-                 approximate/hash-based ops (minhash, simhash, IVF, media
-                 stub) are rows-only by design and are covered by pytest
-                 oracles instead (tests/).
+oracle_sql()   — DuckDB-equivalent SQL for EVERY query (42/42 as of
+                 round 2): hash-based ops ride the portable polynomial
+                 hash (functions/phash.py), the media stub's md5
+                 arithmetic is reproduced in SQL, and the approximate IVF
+                 entry runs a variant whose assignment both engines
+                 compute identically.
 """
 
 from __future__ import annotations
@@ -305,7 +307,6 @@ def oracle_sql() -> dict[str, str]:
     o["media_features"] = _with(media.ORACLE_MEDIA_FEATURES, R, P, M)
     o["media_resize"] = _with(media.oracle_media_resize_sql(), R, P, M)
     o["media_frame_sample"] = _with(media.oracle_frame_sample_sql(), R, P, M)
-    # rows-only (approximate by construction): ann_ivf_topk
     return o
 
 

@@ -4,10 +4,11 @@ Five families, as first-class `queries()` entries:
   exact            — hash groupBy on text (oracle-checkable via md5)
   ngram_jaccard    — character-shingle Jaccard pairs (oracle-checkable:
                      pure substring/COUNT DISTINCT relational algebra)
-  minhash_lsh      — 64-perm MinHash + 8×8 banded LSH, all JVM-side
-                     higher-order expressions over xxhash64 (rows-only
-                     driver check + pytest estimate-accuracy oracle)
-  simhash          — 64-bit SimHash over token hashes (rows-only + pytest)
+  minhash_lsh      — 64-perm MinHash + 8×8 banded LSH over the portable
+                     polynomial hash (functions/phash.py); numpy Arrow
+                     signature kernel by default, DuckDB-oracle-exact
+  simhash          — 62-bit SimHash over portable token hashes
+                     (DuckDB-oracle-exact)
   embedding cosine — see operators/vectors.py
 
 Scale notes: exact dedup is one hash aggregate (map-side partial combine).
