@@ -1,0 +1,181 @@
+"""Distributed connected components over an arbitrary edge list.
+
+The scale path shared by `dedup_clusters` (near-dup doc graph) and
+`threshold_regions` (raster cell lattice): the standard two-phase hybrid
+    1. a few label-propagation + pointer-jump rounds contract the label
+       space geometrically (each round is two shuffle joins);
+    2. the CONTRACTED label graph (distinct touching-label pairs) is tiny
+       relative to the input — finish it with a driver union-find when it
+       fits, else recurse the same two phases on the label graph (each
+       level shrinks the graph by the phase-1 contraction factor, so the
+       recursion is log-depth and fully driver-bounded at any scale).
+
+Pure min-propagation alone has an O(diameter) worst case with a long
+plateau tail (measured unconverged at 40 rounds on a 91k-cell lattice in
+round 2) — propagation is used only to CONTRACT, never to finish.
+
+Iteration barrier = parquet round-trip (alternating directories), NOT
+localCheckpoint: on Spark 4.1 iterative DataFrame loops barriered with
+local/reliable checkpoints run flat for ~20 rounds then blow up ~5x per
+round (engine-internal; reproduced round 2). The storage round-trip stays
+flat indefinitely and matches the pipeline's resumable-checkpoint design.
+"""
+
+from __future__ import annotations
+
+import atexit
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _tmpdir_removed_at_exit(prefix: str) -> str:
+    """mkdtemp whose tree is removed at interpreter exit (ADVICE r2: the
+    barrier dirs must not accumulate across runs; the returned DataFrame
+    lazily reads these files, so removal can only happen once the session
+    is done with them — process exit is the safe point)."""
+    wd = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, wd, True)
+    return wd
+
+
+def union_find_min(pairs) -> dict:
+    """Driver-side union-find with min-root contract: returns
+    {node: component_min} for every node seen in `pairs` that is not its
+    own root. Used ONLY on contracted label graphs (guarded sizes)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in list(parent)}
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iters: int = 5,
+    work_dir: str | None = None,
+    max_driver_edges: int = 5_000_000,
+    max_levels: int = 4,
+    _level: int = 0,
+) -> DataFrame:
+    """(node, component) for every node incident to an edge; component =
+    min node id of its connected component (the keep-one contract).
+
+    `edges` is any two-column DataFrame of comparable ids (cast to the
+    column types given); undirected, self-loops ignored. `max_driver_edges`
+    bounds the contracted graph the driver union-find will accept; larger
+    contracted graphs recurse (up to `max_levels` contraction levels, each
+    one a geometric shrink — 4 levels covers any practical corpus).
+    """
+    spark = edges.sparkSession
+    wd = work_dir or _tmpdir_removed_at_exit("rg_cc_")
+    c0, c1 = edges.columns[0], edges.columns[1]
+    e0 = edges.select(F.col(c0).alias("a"), F.col(c1).alias("b"))
+    sym = (
+        e0.unionByName(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    # the symmetric edge relation is re-read every iteration — materialize
+    # once instead of recomputing the distinct per round
+    sym.write.mode("overwrite").parquet(f"{wd}/edges")
+    sym = spark.read.parquet(f"{wd}/edges")
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    converged = False
+    for it in range(max_iters):
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("node", "a"), "a")
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.min("label").alias("_nbr"))
+        )
+        stepped = labels.join(nbr_min, "node", "left").select(
+            "node",
+            F.least(F.coalesce("_nbr", "label"), F.col("label")).alias("label"),
+            F.col("label").alias("_old"),
+        )
+        # pointer-jump hop: label := label's own label (labels are node ids,
+        # so the lookup is a plain equi-join); halves remaining depth
+        hop = labels.select(F.col("node").alias("label"), F.col("label").alias("_hop"))
+        stepped = stepped.join(hop, "label", "left").select(
+            "node",
+            F.least(F.coalesce("_hop", "label"), F.col("label")).alias("label"),
+            "_old",
+        )
+        path = f"{wd}/iter={it % 2}"
+        stepped.write.mode("overwrite").parquet(path)
+        ckpt = spark.read.parquet(path)
+        changed = ckpt.filter(F.col("label") < F.col("_old")).limit(1).count()
+        labels = ckpt.drop("_old")
+        if changed == 0:
+            converged = True
+            break
+    if converged:
+        return labels.select("node", F.col("label").alias("component"))
+    # contracted label graph: every cell-level adjacency implies a
+    # label-level edge, so CC(labels) ∘ CC(label graph) is exact for ANY
+    # number of phase-1 rounds
+    la = labels.select(F.col("node").alias("a"), F.col("label").alias("_la"))
+    lb = labels.select(F.col("node").alias("b"), F.col("label").alias("_lb"))
+    ce = (
+        sym.join(la, "a")
+        .join(lb, "b")
+        .filter(F.col("_la") != F.col("_lb"))
+        .select(
+            F.least("_la", "_lb").alias("a"), F.greatest("_la", "_lb").alias("b")
+        )
+        .distinct()
+    )
+    ce.write.mode("overwrite").parquet(f"{wd}/contracted")  # consumed twice
+    ce = spark.read.parquet(f"{wd}/contracted")
+    n_ce = ce.count()
+    if n_ce == 0:
+        return labels.select("node", F.col("label").alias("component"))
+    if n_ce <= max_driver_edges:
+        mapping = union_find_min((r["a"], r["b"]) for r in ce.toLocalIterator())
+        map_df = F.broadcast(
+            spark.createDataFrame(
+                list(mapping.items()), f"label {_id_type(labels)}, _root {_id_type(labels)}"
+            )
+        )
+    elif _level + 1 < max_levels:
+        sub = connected_components(
+            ce,
+            max_iters=max_iters,
+            max_driver_edges=max_driver_edges,
+            max_levels=max_levels,
+            _level=_level + 1,
+        )
+        # recursion output may still be large — plain shuffle join
+        map_df = sub.select(F.col("node").alias("label"), F.col("component").alias("_root"))
+    else:
+        raise RuntimeError(
+            f"connected_components: contracted graph still has {n_ce} edges "
+            f"after {max_levels} contraction levels (max_driver_edges="
+            f"{max_driver_edges}) — raise max_iters/max_levels"
+        )
+    return labels.join(map_df, "label", "left").select(
+        "node", F.coalesce("_root", "label").alias("component")
+    )
+
+
+def _id_type(labels: DataFrame) -> str:
+    """DDL type of the node-id column (keeps createDataFrame in sync with
+    whatever id type the caller's edges carry)."""
+    return labels.schema["label"].dataType.simpleString()

@@ -147,10 +147,13 @@ def threshold_regions(
     blowup is engine-internal). The storage round-trip stays flat
     indefinitely and matches the pipeline's resumable-checkpoint design.
     """
-    import tempfile
+    from ..operators.graph import _tmpdir_removed_at_exit, union_find_min
 
     spark = raster.sparkSession
-    wd = work_dir or tempfile.mkdtemp(prefix="rg_regions_")
+    # auto work_dirs are removed at interpreter exit (ADVICE r2): the
+    # returned plan lazily reads the barrier files, so the earliest safe
+    # removal point is process end — caller-supplied dirs are left alone
+    wd = work_dir or _tmpdir_removed_at_exit("rg_regions_")
     cells = raster.filter(F.col("n") >= min_count).select("cell", "cx", "cy")
     labels = cells.withColumn("region", F.col("cell"))
     neighbor_offsets = [(-1, 0), (1, 0), (0, -1), (0, 1)]
@@ -224,32 +227,31 @@ def threshold_regions(
         )
         .distinct()
     )
+    # materialize once — the edge set is consumed by the count guard AND
+    # by the collect / recursive CC below
+    edge_df.write.mode("overwrite").parquet(f"{wd}/contracted")
+    edge_df = spark.read.parquet(f"{wd}/contracted")
     n_edges = edge_df.count()
     if n_edges > max_contract_edges:
-        raise RuntimeError(
-            f"threshold_regions: contracted label graph has {n_edges} edges "
-            f"(> {max_contract_edges}) — run more propagation rounds or add "
-            f"a second contraction level before the driver union-find"
+        # second (and deeper) contraction levels (VERDICT r2 #8): run the
+        # generic label-prop/contraction hybrid on the LABEL graph — exact
+        # (every cell adjacency implies a label edge), and each level
+        # shrinks geometrically, so CC is driver-bounded at any scale
+        from ..operators.graph import connected_components
+
+        sub = connected_components(edge_df, max_driver_edges=max_contract_edges)
+        map_df = sub.select(
+            F.col("node").alias("region"), F.col("component").alias("_root")
         )
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        root = x
-        while parent.get(root, root) != root:
-            root = parent[root]
-        while parent.get(x, x) != x:  # path compression
-            parent[x], x = root, parent[x]
-        return root
-
-    for row in edge_df.collect():
-        ra, rb = find(row["a"]), find(row["b"])
-        if ra != rb:  # min cell id wins = the component-min contract
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-    mapping = [(x, find(x)) for x in list(parent)]
+        return labels.join(map_df, "region", "left").select(
+            "cell", F.coalesce("_root", "region").alias("region")
+        )
+    mapping = union_find_min(
+        (row["a"], row["b"]) for row in edge_df.toLocalIterator()
+    )
     if not mapping:
         return labels.select("cell", "region")
-    map_df = spark.createDataFrame(mapping, "region long, _root long")
+    map_df = spark.createDataFrame(list(mapping.items()), "region long, _root long")
     return (
         labels.join(F.broadcast(map_df), "region", "left")
         .select("cell", F.coalesce("_root", "region").alias("region"))
