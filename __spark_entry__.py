@@ -130,6 +130,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["geocode_match_hashkeys"] = lambda s, d: sj.geocode_match(
         _pnts(s, d), rg.explode_aliases(_roads(s, d)).geocode_roads, hash_keys=True
     )
+    # attribute-skew variant: signatures with >200 points are salted 8
+    # ways (detect→broadcast→salt/replicate); result provably identical
+    q["geocode_match_salted"] = lambda s, d: sj.geocode_match(
+        _pnts(s, d),
+        rg.explode_aliases(_roads(s, d)).geocode_roads,
+        salt_threshold=200,
+        n_salt=8,
+    )
     q["point_in_polygon"] = lambda s, d: (
         ship_package(s), sp.pip_join(_pnts(s, d), sp.derive_zones(s, d))
     )[1]
@@ -188,6 +196,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sessionize"] = lambda s, d: events.sessionize(_events(s, d))
     q["top_users"] = lambda s, d: events.top_users_by_value(_events(s, d))
     q["events_cube"] = lambda s, d: events.events_cube(_events(s, d))
+
+    # -- streaming surface, drained to static frames (VERDICT r2 #4):
+    # real Structured Streaming runs (availableNow) whose drained output
+    # deterministically equals the batch semantics, so the batch oracles
+    # check the streaming operators at the gate too
+    from roadgrinder_spark.streaming import gate as sgate
+
+    q["stream_hourly_rollup"] = lambda s, d: sgate.drained_hourly_rollup(s, d)
+    q["stream_sessionize"] = lambda s, d: sgate.drained_sessionize(s, d)
+    q["stream_geocode_match"] = lambda s, d: sgate.drained_geocode_match(s, d)
+    q["stream_exact_dedup"] = lambda s, d: sgate.drained_exact_dedup(s, d)
 
     # -- multimodal (stubbed decode, real plumbing) --------------------------
     q["media_features"] = lambda s, d: (ship_package(s), media.extract_media_features(
@@ -251,6 +270,8 @@ def oracle_sql() -> dict[str, str]:
     o["nearest_road_salted"] = _with(knn1_body, R, P, knn1_ctes)
     o["geocode_match"] = _with(gc_body, R, P, S, gc_ctes)
     o["geocode_match_hashkeys"] = _with(gc_body, R, P, S, gc_ctes)
+    o["geocode_match_salted"] = _with(gc_body, R, P, S, gc_ctes)
+    o["stream_geocode_match"] = _with(gc_body, R, P, S, gc_ctes)
     o["point_in_polygon"] = _with(sp.oracle_pip_sql(), P, sp.ZONES_CTE)
     o["rasterize_points"] = _with(sr.oracle_rasterize_points_sql(), P)
     o["threshold_regions"] = _with(
@@ -291,6 +312,11 @@ def oracle_sql() -> dict[str, str]:
     o["hourly_rollup"] = events.ORACLE_HOURLY_ROLLUP
     o["events_cube"] = events.ORACLE_EVENTS_CUBE
     o["sessionize"] = _with(*_split_body(events.oracle_sessionize_sql()))
+    from roadgrinder_spark.streaming import gate as sgate
+
+    o["stream_hourly_rollup"] = sgate.ORACLE_STREAM_HOURLY_ROLLUP
+    o["stream_sessionize"] = _with(*_split_body(events.oracle_sessionize_sql()))
+    o["stream_exact_dedup"] = sgate.ORACLE_STREAM_EXACT_DEDUP
     o["top_users"] = _with(*_split_body(events.oracle_top_users_sql()))
     # hash-dedup family: portable polynomial base hash (functions/phash.py)
     # makes minhash/simhash/fingerprints value-checkable in DuckDB

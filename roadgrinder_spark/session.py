@@ -50,11 +50,37 @@ def spread_input(df):
     The driver's testdata parquet tables are single small files → one
     partition, so downstream explode/kernel stages run single-threaded
     without this (round-2 profiling: 4 serial 1-task stages inside
-    ngram_jaccard). On a real multi-file table this is a no-op."""
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        return df.repartition(sc.defaultParallelism)
-    return df
+    ngram_jaccard). On a real multi-file table this is a no-op.
+
+    The decision reads the plan's INPUT FILES + the session's split size
+    instead of `df.rdd.getNumPartitions()` (VERDICT r2 #4: the RDD probe
+    forces a plan→RDD conversion inside every hot operator's
+    construction). Non-file plans (in-memory test frames) get no cheap
+    partition estimate and are conservatively spread — they are tiny by
+    construction in this codebase."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if files:
+        if len(files) >= target:
+            return df
+        import os as _os
+
+        raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+        mpb = int("".join(ch for ch in str(raw) if ch.isdigit()) or "134217728")
+        est = 0
+        for f in files:
+            p = f[7:] if f.startswith("file://") else f
+            try:
+                est += max(1, -(-_os.path.getsize(p) // mpb))
+            except OSError:
+                est += 1
+            if est >= target:
+                return df
+    return df.repartition(target)
 
 
 def build_session(

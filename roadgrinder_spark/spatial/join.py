@@ -265,6 +265,8 @@ def geocode_match(
     radius_m: float = 200.0,
     with_detail: bool = False,
     hash_keys: bool = False,
+    salt_threshold: int | None = None,
+    n_salt: int = 16,
 ) -> DataFrame:
     """Flagship: assign each address point its candidate street segment.
 
@@ -277,6 +279,13 @@ def geocode_match(
 
     Returns (point_id, road_gid, side) and, with_detail, the
     interpolation fraction + matched coordinate + dist2.
+
+    salt_threshold: street signatures are Zipfian ("MAIN" + the metro's
+    dominant posttype can dominate a corpus's address points) — when set,
+    signatures with more than salt_threshold points route through
+    skew.salted_equi_join (detect → broadcast → salt/replicate, n_salt
+    ways); result set provably identical (equivalence pytest + the
+    oracle row stays green). Mutually exclusive with hash_keys.
     """
     sides = road_sides(geocode_roads)
     pts = addrpnts.select(
@@ -337,7 +346,31 @@ def geocode_match(
     # See knn_join: dist2 lives in a post-join Project (CSE'd by codegen),
     # and the radius cut happens after the rank (equivalent: the filter
     # commutes with a distance-ordered row_number).
-    cand = with_dist2(pts.join(sides, cond, "inner"))
+    if salt_threshold is not None:
+        assert not hash_keys, "salting operates on the string signature keys"
+        from .skew import salted_equi_join
+
+        sig = ["p_addrsys", "StreetName", "StreetType", "SuffixDir", "PrefixDir"]
+        sides_renamed = (
+            sides.withColumnRenamed("addrsys", "p_addrsys")
+            .withColumnRenamed("NAME", "StreetName")
+            .withColumnRenamed("POSTTYPE", "StreetType")
+            .withColumnRenamed("POSTDIR", "SuffixDir")
+            .withColumnRenamed("PREDIR", "PrefixDir")
+        )
+        joined = salted_equi_join(
+            pts, sides_renamed, keys=sig, left_row_id="point_id",
+            threshold=salt_threshold, n_salt=n_salt,
+        )
+        # the address-range residual commutes with the equi-join
+        cand = joined.filter(
+            F.col("addnum").between(
+                F.least("addr_from", "addr_to"), F.greatest("addr_from", "addr_to")
+            )
+        )
+    else:
+        cand = pts.join(sides, cond, "inner")
+    cand = with_dist2(cand)
     # nearest = min over struct(dist2, GLOBALID_SGID, side, <payload>):
     # a single-pass aggregate (SortAggregate with a partial phase — struct
     # buffers are not hash-aggregable — but the map side emits one row per

@@ -1,0 +1,180 @@
+"""Driver-gate drains of the streaming surface (VERDICT r2 #4).
+
+Each function stages the driver's parquet table as a file-stream source
+in a temp directory, runs the real Structured Streaming query with
+trigger(availableNow), and returns the drained result as a STATIC
+DataFrame whose value is deterministic and equal to the batch operator's
+semantics — so the batch operators' DuckDB oracles apply verbatim and
+the streaming surface gets rows+schema+hash coverage at the driver gate
+instead of pytest-only parity.
+
+Determinism notes:
+  * rollup/sessionize drains stage ONE source file: the watermark then
+    closes a fixed set of windows and the batch-tail closure
+    (streaming ∪ batch anti-join) fills exactly the rest — the union is
+    the batch result row-for-row regardless of what closed.
+  * the geocode drain stages multiple files (real multi-batch run): each
+    point's match depends only on the static roads side, so the union of
+    per-batch outputs is batching-independent.
+  * the dedup drain returns the distinct suppressed-key set: WHICH
+    arrival is emitted per key depends on batch order, but the key set
+    within the watermark horizon does not.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.graph import _tmpdir_removed_at_exit
+from .rollup import EVENTS_STREAM_SCHEMA, backfill_hourly_rollup, run_available_now
+
+_SEQ = itertools.count()
+
+
+def _uniq(prefix: str) -> str:
+    return f"{prefix}_{os.getpid()}_{next(_SEQ)}"
+
+
+def _stage_copy(src_file: str, prefix: str) -> str:
+    """Stage one parquet file as a single-file stream-source directory."""
+    d = _tmpdir_removed_at_exit(prefix)
+    src = os.path.join(d, "src")
+    os.makedirs(src, exist_ok=True)
+    shutil.copy(src_file, os.path.join(src, "part-0.parquet"))
+    return src
+
+
+def drained_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """availableNow drain of the watermarked windowed rollup + batch-tail
+    closure; equals operators/events.hourly_rollup exactly. Emitted with
+    epoch-micros hours (the r1 sessionize lesson: integer micros are the
+    hash-stable cross-engine timestamp form)."""
+    src = _stage_copy(f"{sf_dir}/events.parquet", "rg_sgate_roll_")
+    out = backfill_hourly_rollup(spark, src, query_name=_uniq("rollup_gate"))
+    return out.select(
+        F.unix_micros("hour").alias("hour_us"), "event_type", "n", "sum_value"
+    )
+
+
+ORACLE_STREAM_HOURLY_ROLLUP = (
+    "SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hour_us, "
+    "event_type, count(*) AS n, round(sum(value), 3) AS sum_value "
+    "FROM events GROUP BY 1, 2"
+)
+
+
+def drained_sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
+    """availableNow drain of a native session_window aggregation + batch
+    tail, renumbered per user — equals operators/events.sessionize.
+
+    session_window merges events with gap < duration (strict), while the
+    batch rule keeps gap <= 30 min in-session; the extra microsecond
+    makes the two rules identical at Spark's microsecond timestamp
+    resolution."""
+    from ..operators.events import sessionize
+
+    src = _stage_copy(f"{sf_dir}/events.parquet", "rg_sgate_sess_")
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(src)
+    )
+    res = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(
+            "user_id",
+            F.session_window("ts", f"{gap_minutes} minutes 1 microseconds"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(F.unix_micros("ts")).alias("started"),
+            F.max(F.unix_micros("ts")).alias("ended"),
+        )
+        .select("user_id", "n_events", "started", "ended")
+    )
+    rows = run_available_now(res, query_name=_uniq("sess_gate"))
+    streamed = spark.createDataFrame(
+        rows, "user_id long, n_events bigint, started long, ended long"
+    )
+    batch = sessionize(spark.read.parquet(src), gap_minutes=gap_minutes).drop(
+        "session_idx"
+    )
+    tail = batch.join(
+        streamed.select("user_id", "started"), ["user_id", "started"], "left_anti"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("started")
+    return (
+        streamed.unionByName(tail)
+        .withColumn("session_idx", F.row_number().over(w).cast("long"))
+        .select("user_id", "session_idx", "n_events", "started", "ended")
+    )
+
+
+def drained_geocode_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-batch availableNow run of the foreachBatch geocode enrichment
+    (streaming/geocode.py) over the derived address points; the union of
+    idempotent per-batch outputs equals the batch matcher."""
+    from .. import datagen
+    from ..operators import roadgrinder as rg
+    from .geocode import read_streamed_matches, streaming_geocode_match
+
+    d = _tmpdir_removed_at_exit("rg_sgate_geo_")
+    src, out_dir, ckpt = (os.path.join(d, x) for x in ("src", "out", "ckpt"))
+    pnts = datagen.derive_addrpnts(spark, sf_dir)
+    (
+        pnts.select(
+            "objectid", "AddSystem", "AddNum", "StreetName", "StreetType",
+            "SuffixDir", "PrefixDir", "px", "py",
+        )
+        .repartition(3, "objectid")
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    gcr = rg.explode_aliases(datagen.derive_roads(spark, sf_dir)).geocode_roads
+    q = streaming_geocode_match(
+        spark, src, gcr, out_dir, ckpt, max_files_per_trigger=2
+    )
+    q.awaitTermination()
+    return read_streamed_matches(spark, out_dir).select(
+        "point_id", "road_gid", "side"
+    )
+
+
+def drained_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """availableNow drain of the watermark-bounded streaming dedup over a
+    two-file (multi-batch) doc stream; all synthetic timestamps sit
+    inside the watermark horizon, so the emitted key set is exactly the
+    distinct md5 set (cross-batch duplicates suppressed by state)."""
+    from .dedup import streaming_exact_dedup
+
+    d = _tmpdir_removed_at_exit("rg_sgate_dd_")
+    src = os.path.join(d, "src")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    (
+        docs.select(
+            "doc_id",
+            "text",
+            F.timestamp_seconds(
+                F.lit(1700000000) + F.col("doc_id") % 3600
+            ).alias("ts"),
+        )
+        .repartition(2, "doc_id")
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    res = streaming_exact_dedup(spark, src, watermark="2 hours")
+    rows = run_available_now(res, query_name=_uniq("dedup_gate"))
+    emitted = spark.createDataFrame(
+        [(r["text_md5"],) for r in rows], "text_md5 string"
+    )
+    return emitted.distinct()
+
+
+ORACLE_STREAM_EXACT_DEDUP = "SELECT DISTINCT md5(text) AS text_md5 FROM documents"

@@ -205,3 +205,17 @@ def test_geocode_hash_keys_equivalent(spark):
         a[cols].sort_values(cols).reset_index(drop=True),
         b[cols].sort_values(cols).reset_index(drop=True),
     )
+
+
+def test_geocode_match_salted_equals_plain(spark):
+    """Attribute-skew salting of the street-signature join is result-
+    identical to the plain equi-join (skew.salted_equi_join contract)."""
+    from roadgrinder_spark import datagen
+    from roadgrinder_spark.operators import roadgrinder as rg
+    from roadgrinder_spark.spatial import join as sj
+
+    pnts = datagen.derive_addrpnts(spark, SF_DIR)
+    gcr = rg.explode_aliases(datagen.derive_roads(spark, SF_DIR)).geocode_roads
+    plain = sj.geocode_match(pnts, gcr)
+    salted = sj.geocode_match(pnts, gcr, salt_threshold=5, n_salt=4)
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))

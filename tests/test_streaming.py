@@ -161,3 +161,30 @@ def test_streaming_exact_dedup_suppresses_in_horizon_dups(spark, tmp_path_factor
     md5s = [r["text_md5"] for r in got]
     assert len(md5s) == 50 and len(set(md5s)) == 50  # one per distinct text
     assert all(r["doc_id"] < 1000 for r in got)  # originals won, dups dropped
+
+
+def test_gate_drains_match_batch(spark):
+    """Driver-gate streaming drains (streaming/gate.py) equal their batch
+    operators exactly — session_window boundary semantics included."""
+    from roadgrinder_spark.operators.events import hourly_rollup, sessionize
+    from roadgrinder_spark.streaming import gate
+    from pyspark.sql import functions as F
+
+    sf = SF_DIR
+    got = gate.drained_sessionize(spark, sf)
+    want = sessionize(spark.read.parquet(f"{sf}/events.parquet"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    got_r = gate.drained_hourly_rollup(spark, sf)
+    want_r = hourly_rollup(spark.read.parquet(f"{sf}/events.parquet")).select(
+        F.unix_micros(F.col("hour").cast("timestamp")).alias("hour_us"),
+        "event_type", "n", "sum_value",
+    )
+    assert sorted(map(tuple, got_r.collect())) == sorted(map(tuple, want_r.collect()))
+
+    got_d = gate.drained_exact_dedup(spark, sf)
+    n_distinct = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select(F.md5("text")).distinct().count()
+    )
+    assert got_d.count() == n_distinct
