@@ -267,6 +267,7 @@ def geocode_match(
     hash_keys: bool = False,
     salt_threshold: int | None = None,
     n_salt: int = 16,
+    shuffle_sides: bool = False,
 ) -> DataFrame:
     """Flagship: assign each address point its candidate street segment.
 
@@ -286,8 +287,18 @@ def geocode_match(
     skew.salted_equi_join (detect → broadcast → salt/replicate, n_salt
     ways); result set provably identical (equivalence pytest + the
     oracle row stays green). Mutually exclusive with hash_keys.
+
+    shuffle_sides hints the signature join away from broadcast — at this
+    repo's test scales the sides relation broadcasts (map-side join, no
+    key skew possible); at corpus scale it outgrows the threshold and the
+    join shuffles BY SIGNATURE, which is where hot-signature salting
+    matters. The bench's skew_attr section uses this to emulate that
+    regime honestly rather than benchmarking salting against a broadcast
+    plan it can't beat.
     """
     sides = road_sides(geocode_roads)
+    if shuffle_sides and salt_threshold is None:
+        sides = sides.hint("shuffle_hash")
     pts = addrpnts.select(
         F.col("objectid").alias("point_id"),
         F.upper(F.col("AddSystem")).alias("p_addrsys"),

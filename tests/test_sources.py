@@ -74,3 +74,30 @@ def test_constraint_audit_and_enforce(spark):
     )
     with pytest.raises(ValueError, match="constraint violations"):
         C.enforce_constraints(bad, C.GEOCODE_ROADS_SPEC)
+
+
+def test_iceberg_adapter_contract(spark):
+    """IcebergTableCatalog mirrors TableCatalog's lifecycle on a real
+    Iceberg catalog; skipped when no iceberg-spark-runtime is configured
+    (the sandbox ships none — the adapter is the documented production
+    boundary for the parquet+pointer stand-in)."""
+    import pytest
+
+    from roadgrinder_spark.sources.iceberg import (
+        IcebergTableCatalog,
+        iceberg_available,
+    )
+
+    if not iceberg_available(spark):
+        with pytest.raises(RuntimeError, match="not configured"):
+            IcebergTableCatalog(spark)
+        pytest.skip("no Iceberg runtime in this session")
+    cat = IcebergTableCatalog(spark)
+    df = spark.range(5).withColumnRenamed("id", "v")
+    v1 = cat.write("t_contract", df)
+    v2 = cat.write("t_contract", df.limit(2))
+    assert cat.read("t_contract").count() == 2
+    assert cat.read("t_contract", version=v1).count() == 5
+    cat.rollback("t_contract", v1)
+    assert cat.read("t_contract").count() == 5
+    assert v2 in {s["version"] for s in cat.snapshots("t_contract")}
