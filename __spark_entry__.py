@@ -167,6 +167,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["minhash_lsh"] = lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d), threshold=0.3)
     q["simhash_pairs"] = lambda s, d: dedup.simhash_near_pairs(_docs(s, d), max_hamming=16)
 
+    # -- sampling / curation ------------------------------------------------
+    from roadgrinder_spark.operators import sampling
+
+    q["hash_split"] = lambda s, d: sampling.hash_split(
+        _docs(s, d).select("doc_id")
+    )
+    q["stratified_sample"] = lambda s, d: sampling.stratified_sample(
+        _docs(s, d).select("doc_id", "source"), "source", 50
+    )
+    q["pii_redact"] = lambda s, d: T.pii_redact(_docs(s, d))
+    q["tile_pyramid"] = lambda s, d: sr.tile_pyramid(
+        sr.rasterize_points(_pnts(s, d))
+    )
+    q["asof_join"] = lambda s, d: events.asof_join(_events(s, d))
+
     # -- text analysis ------------------------------------------------------
     q["text_stats"] = lambda s, d: _docs(s, d).select(
         "doc_id",
@@ -292,6 +307,15 @@ def oracle_sql() -> dict[str, str]:
         S,
     )
 
+    from roadgrinder_spark.operators import sampling
+
+    o["hash_split"] = sampling.oracle_hash_split_sql(cols="doc_id")
+    o["stratified_sample"] = sampling.oracle_stratified_sample_sql(
+        "documents", "source", 50, cols="doc_id, source"
+    )
+    o["pii_redact"] = T.oracle_pii_redact_sql()
+    o["tile_pyramid"] = _with(sr.oracle_tile_pyramid_sql(), P)
+    o["asof_join"] = _with(*_split_body(events.oracle_asof_join_sql()))
     o["dedup_exact"] = dedup.ORACLE_DEDUP_EXACT
     o["ngram_jaccard"] = _with(
         # oracle_ngram_jaccard_sql carries its own CTE list + body

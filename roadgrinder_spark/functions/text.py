@@ -318,3 +318,54 @@ def bpe_ish_token_count_sql(expr: str) -> str:
         rf"CAST(len(regexp_extract_all({expr}, "
         rf"'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)"
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction: sequential regex scrubbing of emails / SSNs / IPv4s /
+# phone numbers — the standard pre-training hygiene pass. Patterns stay
+# inside the Java-regex ∩ RE2 common subset (character classes, bounded
+# repetition, \b) so the DuckDB oracle applies the SAME patterns; Spark's
+# regexp_replace is replace-all by default, DuckDB needs the 'g' flag.
+# Application order matters (IPv4 before phone: dotted quads would
+# otherwise half-match the phone pattern) and is identical in both
+# engines. Counts are taken on the ORIGINAL text.
+#
+# Scale: a narrow projection — no shuffle, whole-stage codegen, streams
+# through any corpus at scan speed.
+# ---------------------------------------------------------------------------
+
+#: (label, pattern, replacement) in application order
+PII_PATTERNS = [
+    ("emails", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssns", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("ips", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phones", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+]
+
+
+def pii_redact(docs, text_col: str = "text"):
+    """(doc_id, text_redacted, n_emails, n_ssns, n_ips, n_phones)."""
+    out = F.col(text_col)
+    counts = []
+    for label, pat, repl in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+            .cast("long")
+            .alias(f"n_{label}")
+        )
+        out = F.regexp_replace(out, pat, repl)
+    return docs.select("doc_id", out.alias("text_redacted"), *counts)
+
+
+def oracle_pii_redact_sql(table: str = "documents", text_col: str = "text") -> str:
+    out = text_col
+    counts = []
+    for label, pat, repl in PII_PATTERNS:
+        p = pat.replace("'", "''")
+        counts.append(
+            f"CAST(len(regexp_extract_all({text_col}, '{p}')) AS BIGINT) AS n_{label}"
+        )
+        out = f"regexp_replace({out}, '{p}', '{repl}', 'g')"
+    return (
+        f"SELECT doc_id, {out} AS text_redacted, {', '.join(counts)} FROM {table}"
+    )

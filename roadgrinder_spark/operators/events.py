@@ -138,3 +138,83 @@ ORACLE_EVENTS_CUBE = (
     "round(sum(value), 3) AS sum_value FROM events "
     "GROUP BY CUBE (event_type, date_trunc('hour', ts))"
 )
+
+
+def asof_join(
+    events: DataFrame,
+    left_type: str = "purchase",
+    right_type: str = "click",
+) -> DataFrame:
+    """AS-OF join within the event log: for each `left_type` event, the
+    most recent `right_type` event of the SAME user at or before its
+    timestamp (ties on ts resolved to the highest event_id — a total,
+    engine-portable order). Spark has no ASOF join operator; the
+    distributed form is the standard union-and-carry window: tag both
+    sides, sort per user by (ts, side, event_id), and carry the last
+    right-side id/ts forward with last(..., ignorenulls) — ONE shuffle by
+    user_id, no range self-join, no point-per-point probe.
+
+    Returns (event_id, user_id, ts_us, matched_event_id, matched_ts_us,
+    lag_us); unmatched left events carry nulls. Timestamps are epoch
+    micros BIGINT (the cross-engine hash-stable form)."""
+    tagged = (
+        events.filter(F.col("event_type").isin(left_type, right_type))
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            (F.col("event_type") == right_type).alias("is_right"),
+        )
+    )
+    # rights sort BEFORE lefts at equal ts (descending boolean), so an
+    # equal-timestamp right event is visible to the left row
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_us"), F.col("is_right").desc(), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = tagged.withColumns(
+        {
+            "matched_event_id": F.last(
+                F.when(F.col("is_right"), F.col("event_id")), ignorenulls=True
+            ).over(w),
+            "matched_ts_us": F.last(
+                F.when(F.col("is_right"), F.col("ts_us")), ignorenulls=True
+            ).over(w),
+        }
+    )
+    return (
+        carried.filter(~F.col("is_right"))
+        .select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            "matched_event_id",
+            "matched_ts_us",
+            (F.col("ts_us") - F.col("matched_ts_us")).alias("lag_us"),
+        )
+    )
+
+
+def oracle_asof_join_sql(
+    left_type: str = "purchase", right_type: str = "click"
+) -> str:
+    return f"""
+ao_tagged AS (
+  SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+         event_type = '{right_type}' AS is_right
+  FROM events WHERE event_type IN ('{left_type}', '{right_type}')
+),
+ao_carried AS (
+  SELECT *,
+    last_value(CASE WHEN is_right THEN event_id END IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts_us, is_right DESC, event_id
+      ROWS UNBOUNDED PRECEDING) AS matched_event_id,
+    last_value(CASE WHEN is_right THEN ts_us END IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts_us, is_right DESC, event_id
+      ROWS UNBOUNDED PRECEDING) AS matched_ts_us
+  FROM ao_tagged
+)
+SELECT event_id, user_id, ts_us, matched_event_id, matched_ts_us,
+       ts_us - matched_ts_us AS lag_us
+FROM ao_carried WHERE NOT is_right"""

@@ -1,0 +1,125 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Train/val/test assignment and per-group quota sampling must be
+REPRODUCIBLE (same row → same split on every run, every engine) and
+re-runnable incrementally (assignment is a pure function of the key, so
+new data never reshuffles old rows). Both operators therefore key off
+md5 — available with identical output in Spark and DuckDB — rather than
+any RNG: the driver gate value-checks the exact assignment.
+
+Scale notes: hash_split is a narrow projection (no shuffle at all);
+stratified_sample is one window per group ordered by the hash — a single
+shuffle by group key, with the same salting/AQE options as any grouped
+op if a group is hot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: 16-bit bucket from the md5 hex prefix: big enough for 0.01%-grain
+#: split weights, small enough that the hex→int parse stays 4 characters
+#: (the shared Spark/DuckDB SQL subset has no hex-parse builtin — memory
+#: lesson: instr('0123456789abcdef', ...) per nibble is the portable form)
+N_BUCKETS = 1 << 16
+
+
+def _bucket_col(key: str):
+    h = F.md5(F.col(key).cast("string"))
+    nibbles = [
+        F.instr(F.lit("0123456789abcdef"), F.substring(h, i + 1, 1)) - 1
+        for i in range(4)
+    ]
+    out = F.lit(0)
+    for nb in nibbles:
+        out = out * 16 + nb
+    return out.cast("long")
+
+
+def _bucket_sql(key: str) -> str:
+    h = f"md5(CAST({key} AS STRING))"
+    expr = "CAST(0 AS BIGINT)"
+    for i in range(4):
+        expr = (
+            f"({expr}) * 16 + "
+            f"(instr('0123456789abcdef', substring({h}, {i + 1}, 1)) - 1)"
+        )
+    return expr
+
+
+def hash_split(
+    df: DataFrame,
+    key: str = "doc_id",
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """Assign each row a deterministic split label from md5(key).
+
+    weights: {label: fraction} in iteration order; fractions are
+    quantized to 1/65536 boundaries (cumulative integer thresholds), so
+    the assignment is exact integer arithmetic — identical in DuckDB."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    bounds = _cum_bounds(weights)
+    b = _bucket_col(key)
+    expr = None
+    for label, hi in bounds:
+        cond = b < F.lit(hi)
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
+    return df.withColumn("split", expr)
+
+
+def _cum_bounds(weights: dict[str, float]) -> list[tuple[str, int]]:
+    labels = list(weights)
+    acc, bounds = 0.0, []
+    for i, label in enumerate(labels):
+        acc += weights[label]
+        hi = N_BUCKETS if i == len(labels) - 1 else int(round(acc * N_BUCKETS))
+        bounds.append((label, hi))
+    return bounds
+
+
+def oracle_hash_split_sql(
+    table: str = "documents",
+    key: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    cols: str = "*",
+) -> str:
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    bounds = _cum_bounds(weights)
+    cases = " ".join(
+        f"WHEN ({_bucket_sql(key)}) < {hi} THEN '{label}'" for label, hi in bounds
+    )
+    return f"SELECT {cols}, CASE {cases} END AS split FROM {table}"
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    n_per_group: int,
+    key: str = "doc_id",
+) -> DataFrame:
+    """Up to n_per_group rows per group, chosen by md5-hash order — an
+    unbiased, deterministic quota sample (the standard down-weighting of
+    over-represented sources in corpus curation). Tie-break on the key
+    itself makes the order total, so both engines agree row-for-row."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(key).cast("string")), F.col(key)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_group)
+        .drop("_rk")
+    )
+
+
+def oracle_stratified_sample_sql(
+    table: str, group_col: str, n_per_group: int, key: str = "doc_id",
+    cols: str = "*",
+) -> str:
+    return f"""
+SELECT {cols} FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY {group_col}
+    ORDER BY md5(CAST({key} AS STRING)), {key}) AS _rk
+  FROM {table}
+) WHERE _rk <= {n_per_group}"""

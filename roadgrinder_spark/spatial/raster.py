@@ -256,3 +256,51 @@ def threshold_regions(
         labels.join(F.broadcast(map_df), "region", "left")
         .select("cell", F.coalesce("_root", "region").alias("region"))
     )
+
+
+def tile_pyramid(raster: DataFrame, levels: int = 4) -> DataFrame:
+    """Multi-resolution rollup of the cell raster: level 0 = the input
+    cells, each level up halves resolution (parent = floor(c / 2^level))
+    and counts sum — the map-tile pyramid every tiled viewer / heatmap
+    service consumes, and the canonical hypertable-rollup shape over the
+    spatial index.
+
+    One explode + ONE hash aggregate covers all levels (map-side partial
+    combine); total output ≈ 2x the base raster regardless of `levels`.
+    Floor division goes through doubles — exact for |c| < 2^52/2^levels,
+    i.e. any terrestrial coordinate at any cell size."""
+    return (
+        raster.select(
+            "cx", "cy", "n",
+            F.explode(F.expr(f"sequence(0, {levels})")).alias("level"),
+        )
+        .groupBy(
+            "level",
+            F.floor(F.col("cx") / F.pow(F.lit(2.0), F.col("level")))
+            .cast("long").alias("pcx"),
+            F.floor(F.col("cy") / F.pow(F.lit(2.0), F.col("level")))
+            .cast("long").alias("pcy"),
+        )
+        .agg(F.sum("n").alias("n"))
+        .select(
+            "level",
+            pack_cell(F.col("pcx"), F.col("pcy")).alias("cell"),
+            "pcx", "pcy", "n",
+        )
+    )
+
+
+def oracle_tile_pyramid_sql(
+    cell_size: float = DEFAULT_CELL_SIZE, levels: int = 4
+) -> str:
+    base = oracle_rasterize_points_sql(cell_size)
+    return f"""
+SELECT level, pcx * {PACK} + pcy + {CY_BIAS} AS cell, pcx, pcy, n FROM (
+  SELECT lv.level,
+         CAST(FLOOR(r.cx / pow(2, lv.level)) AS BIGINT) AS pcx,
+         CAST(FLOOR(r.cy / pow(2, lv.level)) AS BIGINT) AS pcy,
+         sum(r.n) AS n
+  FROM ({base}) r,
+       LATERAL (SELECT unnest(range(0, {levels} + 1)) AS level) lv
+  GROUP BY 1, 2, 3
+)"""
