@@ -128,10 +128,18 @@ def run_suite() -> dict:
     timed("q_minhash_lsh", lambda: dedup.minhash_lsh_pairs(docs, threshold=0.3).count())
     timed("q_dedup_embedding", lambda: dedup.embedding_near_dups(embs).count())
     timed("q_hourly_rollup", lambda: events.hourly_rollup(evts).count())
-    timed("q_ann_brute", lambda: vectors.brute_force_topk(embs).count())
+    # timed brute-force run doubles as the recall baseline (collect once,
+    # don't pay the O(N²) kernel twice)
+    bf_rows: list = []
+
+    def _bf_run():
+        bf_rows.extend(vectors.brute_force_topk(embs).collect())
+        return len(bf_rows)
+
+    timed("q_ann_brute", _bf_run)
     # approximate-op quality, re-measured every run so recall regressions
     # are visible round-over-round (VERDICT r2 #10)
-    bf = {(r["query_id"], r["neighbor_id"]) for r in vectors.brute_force_topk(embs).collect()}
+    bf = {(r["query_id"], r["neighbor_id"]) for r in bf_rows}
     t0 = time.time()
     iv = {(r["query_id"], r["neighbor_id"]) for r in vectors.ivf_topk(embs).collect()}
     ivf_sec = time.time() - t0
@@ -378,7 +386,16 @@ def run_skew_attr() -> dict:
     gcr = rg.explode_aliases(datagen.derive_roads(spark, SF_DIR)).geocode_roads
     s0 = (
         sj.road_sides(gcr)
-        .filter(F.col("addr_from") < F.col("addr_to"))
+        .filter(
+            (F.col("addr_from") < F.col("addr_to"))
+            # a NULL signature field would make every cloned hot row
+            # un-joinable (null equality) and silently measure nothing
+            & F.col("addrsys").isNotNull() & (F.col("addrsys") != "")
+            & F.col("NAME").isNotNull()
+            & F.col("POSTTYPE").isNotNull()
+            & F.col("POSTDIR").isNotNull()
+            & F.col("PREDIR").isNotNull()
+        )
         .orderBy("GLOBALID_SGID", "side")
         .first()
     )

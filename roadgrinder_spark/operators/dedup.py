@@ -208,10 +208,12 @@ def _jaccard_pairs_impl(
             .distinct()
         )
         a, b = sh_ok.alias("a"), sh_ok.alias("b")
-        # candidate set is near-output-sized — semi-join both shingle
-        # scans down to candidate docs first, then count intersections
+        # semi-join both shingle scans down to candidate docs, then count
+        # intersections; candidate sizing is left to AQE (a forced
+        # broadcast would OOM on exactly the cap-free corpora this
+        # strategy exists for)
         inter = (
-            a.join(F.broadcast(cand), F.col("a.doc_id") == F.col("doc_a"))
+            a.join(cand, F.col("a.doc_id") == F.col("doc_a"))
             .join(
                 b,
                 (F.col("b.doc_id") == F.col("doc_b"))
@@ -774,7 +776,10 @@ def _blocked_candidates(
     G = max(1, n_groups)
     rep = (
         embeddings.select("vec_id", "embedding")
-        .withColumn("grp", (F.col("vec_id") % G).cast("int"))
+        # pmod, not %: Spark's remainder keeps the dividend's sign, so a
+        # negative id (e.g. from a signed hash) would land in a group no
+        # task pairs — qualifying pairs would silently vanish
+        .withColumn("grp", F.pmod(F.col("vec_id"), F.lit(G)).cast("int"))
         .withColumn("other", F.explode(F.expr(f"sequence(0, {G - 1})")))
         .withColumn("bi", F.least("grp", "other"))
         .withColumn("bj", F.greatest("grp", "other"))
@@ -833,7 +838,11 @@ def _signlsh_candidates(
     import pandas as pd
     from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
-    dim = embeddings.select(F.size("embedding").alias("d")).first()["d"]
+    first = embeddings.select(F.size("embedding").alias("d")).first()
+    if first is None:  # empty input → empty candidate set, not a crash
+        spark = embeddings.sparkSession
+        return spark.createDataFrame([], "id_a long, id_b long")
+    dim = first["d"]
     planes = np.random.default_rng(2654435761).standard_normal(
         (lsh_tables, lsh_bits, dim)
     )  # fixed seed: run/tile reproducibility, identical across executors

@@ -93,8 +93,12 @@ def connected_components(
     # once instead of recomputing the distinct per round
     sym.write.mode("overwrite").parquet(f"{wd}/edges")
     sym = spark.read.parquet(f"{wd}/edges")
+    # nodes come from the RAW edge list (before the self-loop filter) so a
+    # node whose only edges are self-loops still appears — as the
+    # singleton component the docstring promises
     labels = (
-        sym.select(F.col("a").alias("node"))
+        e0.select(F.col("a").alias("node"))
+        .unionByName(e0.select(F.col("b").alias("node")))
         .distinct()
         .withColumn("label", F.col("node"))
     )

@@ -70,7 +70,7 @@ def spread_input(df):
         import os as _os
 
         raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
-        mpb = int("".join(ch for ch in str(raw) if ch.isdigit()) or "134217728")
+        mpb = _parse_bytes(str(raw))
         est = 0
         for f in files:
             p = f[7:] if f.startswith("file://") else f
@@ -81,6 +81,23 @@ def spread_input(df):
             if est >= target:
                 return df
     return df.repartition(target)
+
+
+def _parse_bytes(raw: str) -> int:
+    """Spark byte-size conf values: plain bytes or k/m/g/t suffixed
+    (optionally trailing 'b'). '128m' must read as 128 MiB, not 128 —
+    digit-stripping would silently disable spread_input's estimate."""
+    s = raw.strip().lower()
+    if s.endswith("b"):
+        s = s[:-1]
+    mult = 1
+    if s and s[-1] in "kmgt":
+        mult = 1024 ** ("kmgt".index(s[-1]) + 1)
+        s = s[:-1]
+    try:
+        return max(1, int(s) * mult)
+    except ValueError:
+        return 128 * 1024 * 1024
 
 
 def build_session(

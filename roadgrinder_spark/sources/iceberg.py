@@ -66,9 +66,10 @@ class IcebergTableCatalog:
         return f"{self.catalog}.{self.namespace}.{name}"
 
     def current_version(self, name: str) -> int | None:
+        # the branch ref is the authoritative current-snapshot pointer;
+        # sorting snapshots by committed_at is tie-prone (ms granularity)
         rows = self.spark.sql(
-            f"SELECT snapshot_id FROM {self._t(name)}.snapshots "
-            "ORDER BY committed_at DESC LIMIT 1"
+            f"SELECT snapshot_id FROM {self._t(name)}.refs WHERE name = 'main'"
         ).collect()
         return rows[0]["snapshot_id"] if rows else None
 
@@ -96,9 +97,12 @@ class IcebergTableCatalog:
 
             w = w.partitionedBy(*[F.col(c) for c in partition_by])
         if mode == "append":
-            try:
+            # explicit existence check — a bare try/except around append()
+            # would swallow real failures (schema mismatch, commit
+            # conflict) and re-raise a misleading 'already exists'
+            if self.spark.catalog.tableExists(self._t(name)):
                 w.append()
-            except Exception:  # first write of the table
+            else:
                 w.create()
         else:
             w.createOrReplace()

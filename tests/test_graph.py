@@ -14,8 +14,10 @@ from .conftest import SF_DIR
 
 
 def _expected(edges):
+    # every node in the raw edge list appears — self-loop-only nodes as
+    # singleton components (the connected_components contract)
     m = union_find_min(edges)
-    nodes = {n for a, b in edges if a != b for n in (a, b)}
+    nodes = {n for a, b in edges for n in (a, b)}
     return {n: m.get(n, n) for n in nodes}
 
 
@@ -121,3 +123,13 @@ def test_embedding_lsh_mode_equals_blocked_at_tight_threshold(spark):
     au = sorted(map(tuple, dedup.embedding_near_dups(aug, 0.8, mode="auto").collect()))
     assert bl == ls == au
     assert len(bl) >= 25  # every planted duplicate found
+
+
+def test_embedding_blocked_handles_negative_ids(spark):
+    """pmod grouping: negative vec_ids (signed-hash ids) must not lose
+    pairs (code-review r3 finding: % keeps the dividend's sign)."""
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(120)
+    neg = embs.select((F.col("vec_id") - 10_000).alias("vec_id"), "embedding")
+    got = sorted(map(tuple, dedup.embedding_near_dups(neg, 0.35, mode="blocked").collect()))
+    want = sorted(map(tuple, dedup.embedding_near_dups_allpairs(neg, 0.35).collect()))
+    assert got == want and len(got) > 0
