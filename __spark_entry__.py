@@ -181,6 +181,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sr.rasterize_points(_pnts(s, d))
     )
     q["asof_join"] = lambda s, d: events.asof_join(_events(s, d))
+    q["mixture_resample"] = lambda s, d: sampling.mixture_resample(
+        _docs(s, d).select("doc_id", "source"),
+        "source",
+        {"src0": 0.02, "src1": 0.002, "src2": 0.05},
+    )
+
+    def _incremental_rollup(s, d):
+        ev = _events(s, d)
+        batches = [ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i) for i in range(3)]
+        return events.incremental_hourly_rollup(batches)
+
+    # additive merge-refresh: 3 per-batch deltas merged == full rollup
+    q["incremental_rollup"] = _incremental_rollup
 
     # -- text analysis ------------------------------------------------------
     q["text_stats"] = lambda s, d: _docs(s, d).select(
@@ -316,6 +329,13 @@ def oracle_sql() -> dict[str, str]:
     o["pii_redact"] = T.oracle_pii_redact_sql()
     o["tile_pyramid"] = _with(sr.oracle_tile_pyramid_sql(), P)
     o["asof_join"] = _with(*_split_body(events.oracle_asof_join_sql()))
+    o["mixture_resample"] = sampling.oracle_mixture_resample_sql(
+        "documents",
+        "source",
+        {"src0": 0.02, "src1": 0.002, "src2": 0.05},
+        cols="doc_id, source",
+    )
+    o["incremental_rollup"] = events.ORACLE_HOURLY_ROLLUP
     o["dedup_exact"] = dedup.ORACLE_DEDUP_EXACT
     o["ngram_jaccard"] = _with(
         # oracle_ngram_jaccard_sql carries its own CTE list + body

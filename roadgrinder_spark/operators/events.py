@@ -218,3 +218,38 @@ ao_carried AS (
 SELECT event_id, user_id, ts_us, matched_event_id, matched_ts_us,
        ts_us - matched_ts_us AS lag_us
 FROM ao_carried WHERE NOT is_right"""
+
+
+def merge_additive(
+    old: DataFrame, delta: DataFrame, keys: list[str], sums: list[str]
+) -> DataFrame:
+    """Combine two additive-aggregate states (counts/sums roll up by
+    addition): full outer on keys, null-safe sum per measure. The core of
+    incremental materialized-view refresh — new state = old ⊕ delta."""
+    merged = old.select(*keys, *sums).unionByName(delta.select(*keys, *sums))
+    return merged.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in sums]
+    )
+
+
+def incremental_hourly_rollup(batches: list[DataFrame]) -> DataFrame:
+    """Hourly rollup maintained INCREMENTALLY: each event batch only
+    computes its own delta rollup and merges additively into the running
+    state — no rescan of prior raw events (the continuous-aggregate /
+    materialized-view refresh pattern; at scale each merge is a MERGE
+    INTO on the rollup table keyed by (hour, event_type)).
+
+    count and sum are additive, so the result equals the batch rollup of
+    the concatenated input exactly; sum_value is re-rounded once at the
+    END (rounding per batch would break additivity)."""
+    state = None
+    for b in batches:
+        delta = b.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        state = delta if state is None else merge_additive(
+            state, delta, ["hour", "event_type"], ["n", "sum_value"]
+        )
+    return state.select(
+        "hour", "event_type", "n", F.round("sum_value", 3).alias("sum_value")
+    )

@@ -123,3 +123,61 @@ SELECT {cols} FROM (
     ORDER BY md5(CAST({key} AS STRING)), {key}) AS _rk
   FROM {table}
 ) WHERE _rk <= {n_per_group}"""
+
+
+def mixture_resample(
+    df: DataFrame,
+    group_col: str,
+    targets: dict[str, float],
+    key: str = "doc_id",
+) -> DataFrame:
+    """Deterministic corpus-mixture downsampling: keep each group at a
+    rate that moves the composition toward `targets` (fractions of the
+    ORIGINAL total; groups absent from `targets` are dropped; rates cap
+    at 1 — this operator only removes rows, never duplicates).
+
+    accept_rate(g) = min(1, target_g · N_total / n_g); a row survives iff
+    its md5 bucket < rate · 65536 — a pure function of the key, so the
+    SAME rows survive on every run/engine and adding new data never
+    flips old rows' fate. Two passes: group counts (tiny aggregate),
+    then one broadcast-joined filter scan. The threshold arithmetic is
+    spelled identically in the oracle SQL (same op order), so the float
+    comparison is bit-identical cross-engine."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n_g"))
+    spark = df.sparkSession
+    total = df.count()
+    tgt = spark.createDataFrame(
+        [(g, float(t) * total) for g, t in targets.items()],
+        f"{group_col} string, _tn double",
+    )
+    thr = F.least(
+        F.lit(float(N_BUCKETS)),
+        F.col("_tn") / F.col("_n_g") * F.lit(float(N_BUCKETS)),
+    )
+    return (
+        df.join(F.broadcast(counts.join(tgt, group_col)), group_col)
+        .filter(_bucket_col(key) < thr)
+        .drop("_n_g", "_tn")
+    )
+
+
+def oracle_mixture_resample_sql(
+    table: str,
+    group_col: str,
+    targets: dict[str, float],
+    key: str = "doc_id",
+    cols: str = "*",
+) -> str:
+    """Mirrors mixture_resample exactly: _tn = t * total as a DOUBLE
+    product, threshold = least(65536.0, _tn / n_g * 65536.0) in the same
+    association order."""
+    vals = ", ".join(f"('{g}', CAST({float(t)!r} AS DOUBLE))" for g, t in targets.items())
+    return f"""
+SELECT {cols} FROM (
+  SELECT d.*, count(*) OVER (PARTITION BY d.{group_col}) AS _n_g,
+         t._t * (SELECT count(*) FROM {table}) AS _tn
+  FROM {table} d
+  JOIN (VALUES {vals}) t({group_col}, _t) USING ({group_col})
+)
+WHERE ({_bucket_sql(key)})
+      < least(CAST({N_BUCKETS} AS DOUBLE), _tn / _n_g * CAST({N_BUCKETS} AS DOUBLE))"""

@@ -104,6 +104,16 @@ class TableCatalog:
             )
         return version
 
+    def merge(self, name: str, df: DataFrame, keys: list[str]) -> int:
+        """Copy-on-write MERGE (upsert) by key: the new snapshot keeps
+        every current row whose key is absent from `df`, plus all of
+        `df` — the MERGE INTO ... WHEN MATCHED UPDATE / NOT MATCHED
+        INSERT shape, as an immutable snapshot (same contract the
+        Iceberg adapter maps to a native MERGE at scale)."""
+        cur = self.read(name)
+        kept = cur.join(df.select(*keys).distinct(), keys, "left_anti")
+        return self.write(name, kept.unionByName(df), mode="overwrite")
+
     def read(self, name: str, version: int | None = None) -> DataFrame:
         v = version if version is not None else self.current_version(name)
         if v is None:

@@ -123,3 +123,59 @@ def test_asof_join_oracle_and_semantics(spark, duck):
     assert out[2]["matched_event_id"] == 1  # equal-ts click IS visible
     assert out[4]["matched_event_id"] == 3  # latest prior click wins
     assert out[5]["matched_event_id"] is None  # no click for user 200
+
+
+def test_mixture_resample_oracle_and_composition(spark, duck):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    targets = {"src0": 0.02, "src1": 0.002, "src2": 0.05}
+    got = sampling.mixture_resample(docs, "source", targets)
+    assert_frames_match(
+        got,
+        duck.sql(
+            sampling.oracle_mixture_resample_sql(
+                "documents", "source", targets, cols="doc_id, source"
+            )
+        ).df(),
+        "mixture",
+    )
+    n_tot = docs.count()
+    by_src = {r["source"]: r["n"] for r in got.groupBy("source")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(by_src) <= set(targets)  # untargeted groups dropped
+    # src1 target (0.002*500=1 doc) must be downsampled well below its 25
+    assert by_src.get("src1", 0) < 25 * 0.5
+    # rate caps at 1: src2 target (25 docs) keeps everything
+    assert by_src["src2"] == 25
+    _ = n_tot
+
+
+def test_incremental_rollup_equals_batch(spark):
+    from roadgrinder_spark.operators.events import (
+        hourly_rollup, incremental_hourly_rollup,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    batches = [ev.filter(F.pmod(F.col("event_id"), F.lit(4)) == i) for i in range(4)]
+    inc = incremental_hourly_rollup(batches)
+    full = hourly_rollup(ev)
+    assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_catalog_merge_upsert(spark, tmp_path):
+    from roadgrinder_spark.sources.catalog import TableCatalog
+
+    cat = TableCatalog(spark, str(tmp_path / "cat"))
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    v1 = cat.write("t", base)
+    upd = spark.createDataFrame([(2, "B"), (4, "d")], "k long, v string")
+    v2 = cat.merge("t", upd, keys=["k"])
+    got = {r["k"]: r["v"] for r in cat.read("t").collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 4: "d"}  # update + insert
+    assert {r["k"] for r in cat.read("t", version=v1).collect()} == {1, 2, 3}
+    cat.rollback("t", v1)  # snapshots remain immutable + rollbackable
+    assert cat.read("t").count() == 3
+    _ = v2
