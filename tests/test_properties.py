@@ -147,3 +147,106 @@ def test_low_high_properties(fl, fr, tl, tr):
         assert low == fl
     else:
         assert low == min(fl, fr)
+
+
+# ---------------------------------------------------------------------------
+# round-3 operators vs pure-Python oracles
+# ---------------------------------------------------------------------------
+
+@st.composite
+def edge_lists(draw):
+    n_nodes = draw(st.integers(min_value=2, max_value=30))
+    n_edges = draw(st.integers(min_value=1, max_value=60))
+    mk = st.integers(min_value=0, max_value=n_nodes - 1)
+    return [(draw(mk), draw(mk)) for _ in range(n_edges)]
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=edge_lists(), cap=st.integers(min_value=1, max_value=10))
+def test_cc_matches_python_oracle(spark, edges, cap):
+    """connected_components vs a python BFS over adversarial tiny graphs
+    (self-loops, duplicates, forced contraction recursion via tiny cap)."""
+    from roadgrinder_spark.operators.graph import connected_components
+
+    e = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(e, max_iters=1, max_driver_edges=cap).collect()
+    }
+    # python oracle: BFS components over the same edges, min-id label
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for start in adj:
+        if start in want:
+            continue
+        comp, todo = set(), [start]
+        while todo:
+            x = todo.pop()
+            if x in comp:
+                continue
+            comp.add(x)
+            todo.extend(adj[x] - comp)
+        root = min(comp)
+        for x in comp:
+            want[x] = root
+    assert got == want
+
+
+@st.composite
+def event_logs(draw):
+    n = draw(st.integers(min_value=1, max_value=40))
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                i,
+                draw(st.integers(min_value=0, max_value=3)),       # user
+                draw(st.sampled_from(["purchase", "click", "view"])),
+                draw(st.integers(min_value=0, max_value=5)),       # second
+            )
+        )
+    return rows
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=event_logs())
+def test_asof_matches_python_oracle(spark, rows):
+    """asof_join vs a row-at-a-time python scan — duplicate timestamps
+    (the tie surface) are generated on purpose."""
+    import datetime as dt
+
+    from roadgrinder_spark.operators.events import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (eid, base + dt.timedelta(seconds=sec), uid, ty, 0.0, "")
+        for eid, uid, ty, sec in rows
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        r["event_id"]: (r["matched_event_id"], r["matched_ts_us"])
+        for r in asof_join(df, "purchase", "click").collect()
+    }
+    want = {}
+    for eid, uid, ty, sec in rows:
+        if ty != "purchase":
+            continue
+        cands = [
+            (s2, e2)
+            for e2, u2, t2, s2 in rows
+            if u2 == uid and t2 == "click"
+            and (s2, ) <= (sec, )  # at-or-before on ts…
+        ]
+        # …tie on equal ts resolved to the highest event_id
+        best = max(cands, key=lambda c: (c[0], c[1]), default=None)
+        us = int((base + dt.timedelta(seconds=best[0])).timestamp() * 1e6) if best else None
+        want[eid] = (best[1] if best else None, us)
+    assert got == want
