@@ -4,12 +4,14 @@ entry(spark)   — flagship: derive SGID-shaped inputs from sf0.001, pack
                  them into the interleaved span-document substrate, unpack,
                  run the alias pipeline and the spatial geocode match.
 queries()      — one entry per implemented operator (SURVEY.md §2).
-oracle_sql()   — DuckDB-equivalent SQL for EVERY query (42/42 as of
-                 round 2): hash-based ops ride the portable polynomial
+oracle_sql()   — DuckDB-equivalent SQL for EVERY query (54/54 as of
+                 round 3): hash-based ops ride the portable polynomial
                  hash (functions/phash.py), the media stub's md5
-                 arithmetic is reproduced in SQL, and the approximate IVF
+                 arithmetic is reproduced in SQL, the approximate IVF
                  entry runs a variant whose assignment both engines
-                 compute identically.
+                 compute identically, and the streaming surface is
+                 checked through deterministic availableNow drains
+                 (streaming/gate.py) whose values equal batch semantics.
 """
 
 from __future__ import annotations
