@@ -78,3 +78,50 @@ def test_rename_on_exists_versioning(spark, docs, tmp_path_factory):
     pipe2.create_output()
     assert os.path.exists(os.path.join(out, "GeocodeRoads_replaced_b"))
     assert not os.path.exists(os.path.join(out, "GeocodeRoads"))
+
+
+def test_spark_submit_py_files_launch(tmp_path):
+    """North-star launch mode: a REAL `spark-submit --py-files <zip>` run
+    of the packaged pipeline in a separate JVM/process — not the test
+    session. Smoke-level: the run completes, prints the one-line JSON
+    metrics summary, and writes the stage manifest."""
+    import json
+    import os
+    import shutil
+    import subprocess
+    import sys
+
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        import pytest
+
+        pytest.skip("spark-submit not on PATH")
+    from roadgrinder_spark.session import build_pyfiles_zip
+
+    zip_path = str(tmp_path / "roadgrinder_spark.zip")
+    build_pyfiles_zip(zip_path)
+    launcher = tmp_path / "launch.py"
+    launcher.write_text(
+        "from roadgrinder_spark.__main__ import main\n"
+        "import sys\nsys.exit(main(sys.argv[1:]))\n"
+    )
+    out_dir = str(tmp_path / "out")
+    env = dict(os.environ, PYSPARK_PYTHON=sys.executable)
+    proc = subprocess.run(
+        [
+            spark_submit, "--master", "local[4]", "--py-files", zip_path,
+            str(launcher),
+            "--sf-dir", "/root/testdata/sf0.001",
+            "--output", out_dir, "--run-id", "smoke",
+        ],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    json_lines = [
+        ln for ln in proc.stdout.splitlines() if ln.startswith("{")
+    ]
+    assert json_lines, proc.stdout[-2000:]
+    summary = json.loads(json_lines[-1])
+    assert summary["metrics"]["matched"] > 0
+    assert summary["metrics"]["match_rate"] > 0
+    assert os.path.isdir(out_dir)
