@@ -1,21 +1,28 @@
 """Deduplication operators for the training-data pipeline.
 
-Five families, as first-class `queries()` entries:
+Six families, each a first-class `queries()` entry:
   exact            — hash groupBy on text (oracle-checkable via md5)
-  ngram_jaccard    — character-shingle Jaccard pairs (oracle-checkable:
-                     pure substring/COUNT DISTINCT relational algebra)
+  ngram_jaccard    — character-shingle Jaccard pairs, three equivalent
+                     plan strategies (inverted index default / self-join
+                     / lossless PPJoin prefix)
+  dedup_clusters   — connected components over the pair graph; driver
+                     union-find for small edge lists, the distributed
+                     label-prop/contraction hybrid (operators/graph.py)
+                     beyond — no hard scale stop
   minhash_lsh      — 64-perm MinHash + 8×8 banded LSH over the portable
-                     polynomial hash (functions/phash.py); numpy Arrow
-                     signature kernel by default, DuckDB-oracle-exact
+                     polynomial hash (functions/phash.py); Mersenne-fold
+                     numpy Arrow signature kernel, DuckDB-oracle-exact
   simhash          — 62-bit SimHash over portable token hashes
                      (DuckDB-oracle-exact)
-  embedding cosine — see operators/vectors.py
+  embedding cosine — triangle-partitioned exact Arrow matmul, or
+                     sign-LSH candidates + exact rerank (mode='auto'
+                     routes tight thresholds); see also operators/vectors
 
 Scale notes: exact dedup is one hash aggregate (map-side partial combine).
-The shingle self-join's skew is vocabulary-Zipfian — the high-DF shingle
-cap (`max_df`) bounds per-key fanout *and* is part of the operator's
-contract (mirrored in the oracle). MinHash signatures are fixed-width
-arrays, so LSH candidate generation is a uniform 8-way band join.
+Shingle skew is vocabulary-Zipfian — the high-DF cap (`max_df`) bounds
+per-key fanout *and* is part of the operator's contract (mirrored in the
+oracle). MinHash signatures are fixed-width arrays, so LSH candidate
+generation is a uniform 8-way band join.
 """
 
 from __future__ import annotations
