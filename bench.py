@@ -399,6 +399,9 @@ def run_skew_attr() -> dict:
         .orderBy("GLOBALID_SGID", "side")
         .first()
     )
+    if s0 is None:  # no fully-populated geocodable side in this corpus
+        spark.stop()
+        return {"skipped": "no qualifying non-null street signature"}
     hot = (
         pnts.withColumn("_m", F.explode(F.sequence(F.lit(0), F.lit(9))))
         .select(

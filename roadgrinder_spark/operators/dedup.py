@@ -722,7 +722,7 @@ CAND_SLACK = 5e-7 + 1e-9
 def embedding_near_dups(
     embeddings: DataFrame,
     threshold: float = 0.35,
-    mode: str = "auto",
+    mode: str = "blocked",
     block_rows: int = 256,
     n_groups: int | None = None,
     max_group_rows: int = 500_000,
@@ -752,7 +752,10 @@ def embedding_near_dups(
       test corpus. Use for tight-threshold crawls where N²d is infeasible.
     mode='auto' — 'lsh' when threshold >= 0.8, else 'blocked' (loose
       thresholds admit no lossless bucketing; tight ones don't need the
-      quadratic sweep).
+      quadratic sweep). The DEFAULT stays 'blocked': exactness is the
+      r2 contract, and trading it for sub-quadratic candidates must be
+      an explicit caller choice ('auto'/'lsh'), never a silent function
+      of the threshold value.
     """
     if mode == "auto":
         mode = "lsh" if threshold >= 0.8 else "blocked"
@@ -855,11 +858,15 @@ def _signlsh_candidates(
     import pandas as pd
     from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
-    first = embeddings.select(F.size("embedding").alias("d")).first()
-    if first is None:  # empty input → empty candidate set, not a crash
+    dim_row = (
+        embeddings.filter(F.col("embedding").isNotNull())
+        .select(F.max(F.size("embedding")).alias("d"))
+        .first()
+    )
+    dim = dim_row["d"] if dim_row is not None else None
+    if not dim or dim <= 0:  # empty / all-null input → empty candidates
         spark = embeddings.sparkSession
         return spark.createDataFrame([], "id_a long, id_b long")
-    dim = first["d"]
     planes = np.random.default_rng(2654435761).standard_normal(
         (lsh_tables, lsh_bits, dim)
     )  # fixed seed: run/tile reproducibility, identical across executors

@@ -242,6 +242,8 @@ def incremental_hourly_rollup(batches: list[DataFrame]) -> DataFrame:
     count and sum are additive, so the result equals the batch rollup of
     the concatenated input exactly; sum_value is re-rounded once at the
     END (rounding per batch would break additivity)."""
+    if not batches:
+        raise ValueError("incremental_hourly_rollup: need at least one batch")
     state = None
     for b in batches:
         delta = b.groupBy(

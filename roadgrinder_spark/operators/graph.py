@@ -23,22 +23,10 @@ flat indefinitely and matches the pipeline's resumable-checkpoint design.
 
 from __future__ import annotations
 
-import atexit
-import shutil
-import tempfile
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-
-def _tmpdir_removed_at_exit(prefix: str) -> str:
-    """mkdtemp whose tree is removed at interpreter exit (ADVICE r2: the
-    barrier dirs must not accumulate across runs; the returned DataFrame
-    lazily reads these files, so removal can only happen once the session
-    is done with them — process exit is the safe point)."""
-    wd = tempfile.mkdtemp(prefix=prefix)
-    atexit.register(shutil.rmtree, wd, True)
-    return wd
+from ..session import tmpdir_removed_at_exit as _tmpdir_removed_at_exit
 
 
 def union_find_min(pairs) -> dict:

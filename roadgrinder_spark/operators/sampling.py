@@ -59,6 +59,12 @@ def hash_split(
     quantized to 1/65536 boundaries (cumulative integer thresholds), so
     the assignment is exact integer arithmetic — identical in DuckDB."""
     weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total_w = sum(weights.values())
+    if abs(total_w - 1.0) > 1e-6:
+        raise ValueError(
+            f"hash_split weights must sum to 1 (got {total_w}); the last "
+            "label absorbs only sub-bucket rounding, not missing mass"
+        )
     bounds = _cum_bounds(weights)
     b = _bucket_col(key)
     expr = None

@@ -55,15 +55,21 @@ def spread_input(df):
     The decision reads the plan's INPUT FILES + the session's split size
     instead of `df.rdd.getNumPartitions()` (VERDICT r2 #4: the RDD probe
     forces a plan→RDD conversion inside every hot operator's
-    construction). Non-file plans (in-memory test frames) get no cheap
-    partition estimate and are conservatively spread — they are tiny by
-    construction in this codebase."""
+    construction). Non-file plans (in-memory frames, post-shuffle
+    intermediates) keep the RDD partition probe — it is the rare path
+    (every hot operator reads file scans), and without it an
+    already-parallel computed frame would be collapsed to the default
+    parallelism by the unconditional repartition."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     try:
         files = df.inputFiles()
     except Exception:
         files = []
+    if not files:
+        if df.rdd.getNumPartitions() >= target:
+            return df
+        return df.repartition(target)
     if files:
         if len(files) >= target:
             return df
@@ -81,6 +87,19 @@ def spread_input(df):
             if est >= target:
                 return df
     return df.repartition(target)
+
+
+def tmpdir_removed_at_exit(prefix: str) -> str:
+    """mkdtemp whose tree is removed at interpreter exit. Shared by every
+    operator that materializes parquet barrier/staging files a returned
+    plan will lazily read — the earliest safe removal point is process
+    end (ADVICE r2: auto temp dirs must not accumulate across runs)."""
+    import atexit
+    import shutil
+
+    wd = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, wd, True)
+    return wd
 
 
 def _parse_bytes(raw: str) -> int:

@@ -109,7 +109,17 @@ class TableCatalog:
         every current row whose key is absent from `df`, plus all of
         `df` — the MERGE INTO ... WHEN MATCHED UPDATE / NOT MATCHED
         INSERT shape, as an immutable snapshot (same contract the
-        Iceberg adapter maps to a native MERGE at scale)."""
+        Iceberg adapter maps to a native MERGE at scale). A delta with
+        duplicate keys is rejected — MERGE INTO semantics forbid a
+        multi-matching source, and silently writing both rows would
+        corrupt key uniqueness for every downstream reader."""
+        n_dup = (
+            df.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
+        )
+        if n_dup:
+            raise ValueError(
+                f"merge into {name}: delta contains duplicate keys {keys}"
+            )
         cur = self.read(name)
         kept = cur.join(df.select(*keys).distinct(), keys, "left_anti")
         return self.write(name, kept.unionByName(df), mode="overwrite")

@@ -147,7 +147,8 @@ def threshold_regions(
     blowup is engine-internal). The storage round-trip stays flat
     indefinitely and matches the pipeline's resumable-checkpoint design.
     """
-    from ..operators.graph import _tmpdir_removed_at_exit, union_find_min
+    from ..operators.graph import union_find_min
+    from ..session import tmpdir_removed_at_exit as _tmpdir_removed_at_exit
 
     spark = raster.sparkSession
     # auto work_dirs are removed at interpreter exit (ADVICE r2): the

@@ -30,7 +30,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.graph import _tmpdir_removed_at_exit
+from ..session import tmpdir_removed_at_exit as _tmpdir_removed_at_exit
 from .rollup import EVENTS_STREAM_SCHEMA, backfill_hourly_rollup, run_available_now
 
 _SEQ = itertools.count()

@@ -179,3 +179,37 @@ def test_catalog_merge_upsert(spark, tmp_path):
     cat.rollback("t", v1)  # snapshots remain immutable + rollbackable
     assert cat.read("t").count() == 3
     _ = v2
+
+
+def test_round3_guard_rails(spark, tmp_path):
+    """Contract guards from the round-3 review: merge rejects duplicate
+    delta keys; hash_split rejects non-normalized weights; incremental
+    rollup rejects an empty batch list; embedding dedup defaults to the
+    exact mode regardless of threshold."""
+    import inspect
+
+    import pytest
+
+    from roadgrinder_spark.operators import dedup
+    from roadgrinder_spark.operators.events import incremental_hourly_rollup
+    from roadgrinder_spark.sources.catalog import TableCatalog
+
+    cat = TableCatalog(spark, str(tmp_path / "cat"))
+    cat.write("t", spark.createDataFrame([(1, "a")], "k long, v string"))
+    dup_delta = spark.createDataFrame([(2, "x"), (2, "y")], "k long, v string")
+    with pytest.raises(ValueError, match="duplicate keys"):
+        cat.merge("t", dup_delta, keys=["k"])
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        sampling.hash_split(
+            spark.createDataFrame([(1,)], "doc_id long"),
+            weights={"train": 0.5, "val": 0.2},
+        )
+
+    with pytest.raises(ValueError, match="at least one batch"):
+        incremental_hourly_rollup([])
+
+    assert (
+        inspect.signature(dedup.embedding_near_dups).parameters["mode"].default
+        == "blocked"
+    )
