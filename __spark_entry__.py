@@ -197,6 +197,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # additive merge-refresh: 3 per-batch deltas merged == full rollup
     q["incremental_rollup"] = _incremental_rollup
 
+    from roadgrinder_spark.operators import sketches
+
+    q["approx_distinct_kmv"] = lambda s, d: sketches.kmv_distinct(
+        _docs(s, d), "text", k=64
+    )
+    q["kmv_per_source"] = lambda s, d: sketches.kmv_distinct_per_group(
+        _docs(s, d), "source", "text", k=16
+    )
+
     # -- text analysis ------------------------------------------------------
     q["text_stats"] = lambda s, d: _docs(s, d).select(
         "doc_id",
@@ -338,6 +347,14 @@ def oracle_sql() -> dict[str, str]:
         cols="doc_id, source",
     )
     o["incremental_rollup"] = events.ORACLE_HOURLY_ROLLUP
+    from roadgrinder_spark.operators import sketches
+
+    o["approx_distinct_kmv"] = sketches.oracle_kmv_distinct_sql(
+        "documents", "text", k=64
+    )
+    o["kmv_per_source"] = sketches.oracle_kmv_per_group_sql(
+        "documents", "source", "text", k=16
+    )
     o["dedup_exact"] = dedup.ORACLE_DEDUP_EXACT
     o["ngram_jaccard"] = _with(
         # oracle_ngram_jaccard_sql carries its own CTE list + body

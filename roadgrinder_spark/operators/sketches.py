@@ -1,0 +1,132 @@
+"""Cardinality sketches: KMV (k-minimum-values) distinct-count
+estimation, engine-portable.
+
+Corpus pipelines need cheap cardinality (distinct URLs / shingles /
+users per slice) without a full distinct aggregation. KMV keeps the k
+smallest hash values of a column; the k-th smallest, read as a fraction
+u of the hash space, estimates the distinct count as (k-1)/u (Bar-Yossef
+et al. 2002). Error ~ 1/sqrt(k-2); sketches MERGE by keeping the k
+smallest of the union — embarrassingly distributable.
+
+Portability: the hash is md5 (identical in Spark and DuckDB) and hex
+strings order lexicographically like the values they encode, so the
+k-th smallest hash — and therefore the ESTIMATE itself — is a
+deterministic value both engines compute bit-identically: even this
+approximate operator is value-hash-checked at the driver gate.
+
+Scale notes: the global form is distinct → TakeOrdered(k) (tiny result);
+the per-group form is one shuffle by group + a windowed min-k. At crawl
+scale prefer the per-partition min-k + merge (same math) over the full
+distinct; the result is identical because min-k of a union is min-k of
+the parts' min-k's.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: nibbles of the md5 prefix read as the hash-space fraction; 12 nibbles
+#: = 48 bits — far below double's 53-bit mantissa, so the fraction (and
+#: the estimate) is exact in both engines
+PREFIX_NIBBLES = 12
+HASH_SPACE = float(16 ** PREFIX_NIBBLES)
+
+
+def _prefix_value(h):
+    out = F.lit(0).cast("long")  # 12 nibbles ≈ 2.8e14 — must be BIGINT
+    for i in range(PREFIX_NIBBLES):
+        out = out * 16 + (F.instr(F.lit("0123456789abcdef"), F.substring(h, i + 1, 1)) - 1)
+    return out.cast("double")
+
+
+def _prefix_value_sql(h: str) -> str:
+    expr = "CAST(0 AS BIGINT)"
+    for i in range(PREFIX_NIBBLES):
+        expr = (
+            f"({expr}) * 16 + "
+            f"(instr('0123456789abcdef', substring({h}, {i + 1}, 1)) - 1)"
+        )
+    return f"CAST({expr} AS DOUBLE)"
+
+
+def kmv_distinct(df: DataFrame, col: str = "text", k: int = 256) -> DataFrame:
+    """One-row estimate of count(distinct col): (k, n_kept, est_distinct).
+
+    When fewer than k distinct values exist the sketch is exact
+    (est = n_kept) — the standard KMV small-cardinality rule."""
+    topk = (
+        df.select(F.md5(F.col(col).cast("string")).alias("h"))
+        .where(F.col("h").isNotNull())
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+    kth = F.max("h")  # max of the k smallest = the k-th smallest
+    return topk.agg(
+        F.lit(k).alias("k"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.when(
+            F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double")
+        )
+        .otherwise(F.lit(float(k - 1)) / (_prefix_value(kth) / F.lit(HASH_SPACE)))
+        .alias("est_distinct"),
+    )
+
+
+def oracle_kmv_distinct_sql(table: str, col: str = "text", k: int = 256) -> str:
+    pv = _prefix_value_sql("max(h)")
+    return f"""
+SELECT CAST({k} AS INT) AS k, count(*) AS n_kept,
+       CASE WHEN count(*) < {k} THEN CAST(count(*) AS DOUBLE)
+            ELSE CAST({float(k - 1)!r} AS DOUBLE) / ({pv} / {HASH_SPACE!r})
+       END AS est_distinct
+FROM (
+  SELECT DISTINCT md5(CAST({col} AS STRING)) AS h FROM {table}
+  WHERE md5(CAST({col} AS STRING)) IS NOT NULL
+  ORDER BY h LIMIT {k}
+)"""
+
+
+def kmv_distinct_per_group(
+    df: DataFrame, group_col: str, col: str, k: int = 64
+) -> DataFrame:
+    """Per-group KMV: (group, n_kept, est_distinct) — one shuffle by
+    group, windowed min-k over distinct hashes."""
+    w = Window.partitionBy(group_col).orderBy("h")
+    topk = (
+        df.select(F.col(group_col), F.md5(F.col(col).cast("string")).alias("h"))
+        .where(F.col("h").isNotNull())
+        .distinct()
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+    )
+    kth = F.max("h")
+    return topk.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.when(
+            F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double")
+        )
+        .otherwise(F.lit(float(k - 1)) / (_prefix_value(kth) / F.lit(HASH_SPACE)))
+        .alias("est_distinct"),
+    )
+
+
+def oracle_kmv_per_group_sql(
+    table: str, group_col: str, col: str, k: int = 64
+) -> str:
+    pv = _prefix_value_sql("max(h)")
+    return f"""
+SELECT {group_col}, count(*) AS n_kept,
+       CASE WHEN count(*) < {k} THEN CAST(count(*) AS DOUBLE)
+            ELSE CAST({float(k - 1)!r} AS DOUBLE) / ({pv} / {HASH_SPACE!r})
+       END AS est_distinct
+FROM (
+  SELECT * FROM (
+    SELECT {group_col}, h,
+           row_number() OVER (PARTITION BY {group_col} ORDER BY h) AS _rk
+    FROM (SELECT DISTINCT {group_col}, md5(CAST({col} AS STRING)) AS h FROM {table}
+          WHERE md5(CAST({col} AS STRING)) IS NOT NULL)
+  ) WHERE _rk <= {k}
+)
+GROUP BY {group_col}"""

@@ -213,3 +213,31 @@ def test_round3_guard_rails(spark, tmp_path):
         inspect.signature(dedup.embedding_near_dups).parameters["mode"].default
         == "blocked"
     )
+
+
+def test_kmv_sketch_oracle_and_accuracy(spark, duck):
+    from roadgrinder_spark.operators import sketches
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = sketches.kmv_distinct(docs, "text", k=64)
+    assert_frames_match(
+        got,
+        duck.sql(sketches.oracle_kmv_distinct_sql("documents", "text", k=64)).df(),
+        "kmv",
+    )
+    est = got.collect()[0]["est_distinct"]
+    true = docs.select("text").distinct().count()
+    assert 0.5 * true < est < 2.0 * true  # k=64 → ~12% stderr; generous band
+    # exact below k: 20 distinct values, k=64 → est == 20
+    small = docs.limit(20)
+    row = sketches.kmv_distinct(small, "doc_id", k=64).collect()[0]
+    assert row["est_distinct"] == row["n_kept"] == 20
+    # per-group variant agrees with the oracle too
+    per = sketches.kmv_distinct_per_group(docs, "source", "text", k=16)
+    assert_frames_match(
+        per,
+        duck.sql(
+            sketches.oracle_kmv_per_group_sql("documents", "source", "text", k=16)
+        ).df(),
+        "kmv_group",
+    )
