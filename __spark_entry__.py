@@ -218,6 +218,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_id", T.bpe_ish_token_count(F.col("text")).alias("n_subwords")
     )
     q["bigram_lm_scores"] = lambda s, d: T.bigram_lm_scores(_docs(s, d))
+    # gate form: exploded scalar rows — the driver's value hash is not
+    # defined over array-typed result columns
+    q["text_embed_hashed"] = lambda s, d: T.hashed_ngram_embedding(
+        _docs(s, d)
+    ).select(
+        "doc_id",
+        F.posexplode("embedding").alias("bucket", "cnt"),
+    )
     q["dedup_embedding"] = lambda s, d: (
         ship_package(s), dedup.embedding_near_dups(_embs(s, d))
     )[1]
@@ -390,6 +398,9 @@ def oracle_sql() -> dict[str, str]:
     o["simhash_pairs"] = _with(*_split_body(dedup.oracle_simhash_pairs_sql(max_hamming=16)))
     o["doc_fingerprints"] = _with(*_split_body(T.oracle_fingerprint_sql()))
     o["bigram_lm_scores"] = _with(*_split_body(T.oracle_bigram_lm_sql()))
+    o["text_embed_hashed"] = _with(
+        *_split_body(T.oracle_hashed_embedding_rows_sql())
+    )
     # media trio: the decode stub is md5-arithmetic, which DuckDB can
     # reproduce exactly (media.py oracle builders)
     M = media.oracle_media_cte()

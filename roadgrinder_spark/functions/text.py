@@ -369,3 +369,92 @@ def oracle_pii_redact_sql(table: str = "documents", text_col: str = "text") -> s
     return (
         f"SELECT doc_id, {out} AS text_redacted, {', '.join(counts)} FROM {table}"
     )
+
+
+# ---------------------------------------------------------------------------
+# hashed n-gram embedding (the "hashing trick" vectorizer): a REAL text
+# featurizer with no external model — embedding[j] = number of k-gram
+# OCCURRENCES whose portable polynomial hash lands in bucket j (mod dim).
+# Integer counts, so the vector is EXACT cross-engine (no float drift)
+# and downstream cosine/ANN operators (operators/vectors.py,
+# operators/dedup.embedding_near_dups) consume it after a double cast.
+# One narrow projection per doc (O(len·dim) JVM higher-order work), no
+# shuffle, no Python.
+# ---------------------------------------------------------------------------
+
+from .phash import B1 as _EMB_BASE
+from .phash import poly8_sql as _poly8_sql
+
+
+def hashed_ngram_embedding(docs, dim: int = 64, k: int = 3, text_col: str = "text"):
+    """(doc_id, embedding: array<bigint>[dim]) — bag-of-k-gram counts
+    folded into `dim` buckets by the portable hash. Null text → all-zero
+    vector (matches the oracle's dense zero fill)."""
+    grams = (
+        f"transform(sequence(1, greatest(1, length({text_col}) - {k - 1})), "
+        f"i -> substring({text_col}, i, {k}))"
+    )
+    hashes = f"transform(_gs, s -> {_poly8_sql('s', _EMB_BASE)} % {dim})"
+    counts = (
+        f"transform(sequence(0, {dim - 1}), "
+        f"j -> CAST(size(filter(_h, h -> h = j)) AS BIGINT))"
+    )
+    return (
+        docs.withColumn("_gs", F.expr(grams))
+        .withColumn("_h", F.expr(hashes))
+        .select("doc_id", F.expr(counts).alias("embedding"))
+    )
+
+
+def oracle_hashed_embedding_sql(
+    table: str = "documents", dim: int = 64, k: int = 3, text_col: str = "text"
+) -> str:
+    """DuckDB mirror: lateral gram explode → bucket counts → dense
+    zero-filled ordered list per doc. Docs whose text yields no grams
+    (NULL) get the all-zero vector via the documents × buckets frame."""
+    h = _poly8_sql("g.gs", _EMB_BASE)
+    return f"""
+he_grams AS (
+  SELECT d.doc_id, ({h}) % {dim} AS bucket
+  FROM {table} d,
+       LATERAL (SELECT substring(d.{text_col}, CAST(p.pos AS INT), {k}) AS gs
+                FROM (SELECT unnest(range(1, greatest(1, length(d.{text_col}) - {k - 1}) + 1)) AS pos) p) g
+),
+he_counts AS (
+  SELECT doc_id, bucket, count(*) AS c FROM he_grams GROUP BY 1, 2
+),
+he_frame AS (
+  SELECT d.doc_id, b.bucket FROM (SELECT DISTINCT doc_id FROM {table}) d,
+       LATERAL (SELECT unnest(range(0, {dim})) AS bucket) b
+)
+SELECT f.doc_id,
+       list(CAST(coalesce(c.c, 0) AS BIGINT) ORDER BY f.bucket) AS embedding
+FROM he_frame f LEFT JOIN he_counts c
+  ON c.doc_id = f.doc_id AND c.bucket = f.bucket
+GROUP BY f.doc_id"""
+
+
+def oracle_hashed_embedding_rows_sql(
+    table: str = "documents", dim: int = 64, k: int = 3, text_col: str = "text"
+) -> str:
+    """Row-form mirror (doc_id, bucket, cnt) — scalar columns only, the
+    shape the driver gate value-hashes (array-typed result columns are
+    not part of the gate contract)."""
+    h = _poly8_sql("g.gs", _EMB_BASE)
+    return f"""
+he_grams AS (
+  SELECT d.doc_id, ({h}) % {dim} AS bucket
+  FROM {table} d,
+       LATERAL (SELECT substring(d.{text_col}, CAST(p.pos AS INT), {k}) AS gs
+                FROM (SELECT unnest(range(1, greatest(1, length(d.{text_col}) - {k - 1}) + 1)) AS pos) p) g
+),
+he_counts AS (
+  SELECT doc_id, bucket, count(*) AS c FROM he_grams GROUP BY 1, 2
+),
+he_frame AS (
+  SELECT d.doc_id, b.bucket FROM (SELECT DISTINCT doc_id FROM {table}) d,
+       LATERAL (SELECT unnest(range(0, {dim})) AS bucket) b
+)
+SELECT f.doc_id, f.bucket, CAST(coalesce(c.c, 0) AS BIGINT) AS cnt
+FROM he_frame f LEFT JOIN he_counts c
+  ON c.doc_id = f.doc_id AND c.bucket = f.bucket"""

@@ -241,3 +241,31 @@ def test_kmv_sketch_oracle_and_accuracy(spark, duck):
         ).df(),
         "kmv_group",
     )
+
+
+def test_hashed_embedding_oracle_and_ann_composition(spark, duck):
+    """The hashing-trick vectorizer is exact cross-engine, and its output
+    plugs straight into the cosine near-dup operator (text → vector →
+    ANN composition): planted duplicate texts score cos 1.0."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = T.hashed_ngram_embedding(docs).toPandas()
+    dk = duck.sql("WITH " + T.oracle_hashed_embedding_sql().strip()).df()
+    got["embedding"] = got["embedding"].apply(tuple)
+    dk["embedding"] = dk["embedding"].apply(tuple)
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    dk = dk.sort_values("doc_id").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, dk, check_dtype=False)
+
+    from roadgrinder_spark.operators import dedup
+
+    dup = docs.limit(5).select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    aug = docs.select("doc_id", "text").unionByName(dup)
+    emb = T.hashed_ngram_embedding(aug).select(
+        F.col("doc_id").alias("vec_id"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+    )
+    pairs = dedup.embedding_near_dups(emb, threshold=0.999999, mode="blocked")
+    planted = pairs.filter(F.col("id_b") - F.col("id_a") == 1_000_000).count()
+    assert planted == 5
