@@ -168,6 +168,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["minhash_lsh"] = lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d), threshold=0.3)
     q["simhash_pairs"] = lambda s, d: dedup.simhash_near_pairs(_docs(s, d), max_hamming=16)
+    # decontamination: probes = a deterministic corpus slice standing in
+    # for a benchmark/test set
+    q["contamination"] = lambda s, d: dedup.contamination_check(
+        _docs(s, d), _docs(s, d).filter(F.col("doc_id") % 97 == 0)
+    )
 
     # -- sampling / curation ------------------------------------------------
     from roadgrinder_spark.operators import sampling
@@ -395,6 +400,12 @@ def oracle_sql() -> dict[str, str]:
         *_split_body(dedup.oracle_dedup_clusters_sql(threshold=0.25, max_df=100))
     ).replace("WITH ", "WITH RECURSIVE ", 1)
     o["minhash_lsh"] = _with(*_split_body(dedup.oracle_minhash_lsh_sql(threshold=0.3)))
+    ct_body, ct_ctes = _split_body(dedup.oracle_contamination_sql("ct_probes"))
+    o["contamination"] = _with(
+        ct_body,
+        "ct_probes AS (SELECT * FROM documents WHERE doc_id % 97 = 0)",
+        ct_ctes,
+    )
     o["simhash_pairs"] = _with(*_split_body(dedup.oracle_simhash_pairs_sql(max_hamming=16)))
     o["doc_fingerprints"] = _with(*_split_body(T.oracle_fingerprint_sql()))
     o["bigram_lm_scores"] = _with(*_split_body(T.oracle_bigram_lm_sql()))

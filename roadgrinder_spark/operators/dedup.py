@@ -932,3 +932,74 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                    CAST(b.embedding AS DOUBLE[])), 6) >= {threshold}"""
+
+
+# ---------------------------------------------------------------------------
+# benchmark-contamination check (test-set decontamination): flag training
+# docs that contain k-gram overlap with a probe corpus (benchmark/test
+# texts). The standard pre-training hygiene pass next to dedup: a doc
+# sharing >= `min_hits` distinct k-grams with any probe is contaminated.
+# One shuffle: doc shingles semi-join the (tiny, broadcast) probe shingle
+# set, then a per-doc count — no pairwise doc×probe work anywhere.
+# ---------------------------------------------------------------------------
+
+def contamination_check(
+    docs: DataFrame,
+    probes: DataFrame,
+    k: int = 12,
+    min_hits: int = 1,
+) -> DataFrame:
+    """(doc_id, n_hits, n_sh, hit_rate) for docs with >= min_hits distinct
+    k-shingles that appear in ANY probe text. `probes` needs a `text`
+    column; k defaults longer than near-dup shingles (12) — contamination
+    cares about verbatim benchmark strings, not fuzzy similarity."""
+    doc_sh = shingles(docs, k)
+    probe_sh = (
+        probes.select(
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform("
+                    f"sequence(1, greatest(1, length(text) - {k - 1})), "
+                    f"i -> substring(text, i, {k})))"
+                )
+            ).alias("shingle")
+        )
+        .distinct()
+    )
+    sizes = doc_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    hits = (
+        doc_sh.join(F.broadcast(probe_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .filter(F.col("n_hits") >= min_hits)
+    )
+    return hits.join(sizes, "doc_id").select(
+        "doc_id",
+        "n_hits",
+        "n_sh",
+        F.round(F.col("n_hits") / F.col("n_sh"), 6).alias("hit_rate"),
+    )
+
+
+def oracle_contamination_sql(
+    probe_table: str, k: int = 12, min_hits: int = 1
+) -> str:
+    def sh(tbl: str, cols: str) -> str:
+        return (
+            f"SELECT DISTINCT {cols} substring(d.text, CAST(p.pos AS INT), {k}) AS shingle "
+            f"FROM {tbl} d, LATERAL (SELECT unnest(range(1, "
+            f"greatest(1, length(d.text) - {k - 1}) + 1)) AS pos) p"
+        )
+
+    return f"""
+ct_doc_sh AS ({sh('documents', 'd.doc_id,')}),
+ct_probe_sh AS ({sh(probe_table, '')}),
+ct_sizes AS (SELECT doc_id, count(*) AS n_sh FROM ct_doc_sh GROUP BY doc_id),
+ct_hits AS (
+  SELECT s.doc_id, count(*) AS n_hits
+  FROM ct_doc_sh s JOIN ct_probe_sh p ON p.shingle = s.shingle
+  GROUP BY s.doc_id HAVING count(*) >= {min_hits}
+)
+SELECT h.doc_id, h.n_hits, z.n_sh,
+       round(CAST(h.n_hits AS DOUBLE) / z.n_sh, 6) AS hit_rate
+FROM ct_hits h JOIN ct_sizes z ON z.doc_id = h.doc_id"""

@@ -269,3 +269,32 @@ def test_hashed_embedding_oracle_and_ann_composition(spark, duck):
     pairs = dedup.embedding_near_dups(emb, threshold=0.999999, mode="blocked")
     planted = pairs.filter(F.col("id_b") - F.col("id_a") == 1_000_000).count()
     assert planted == 5
+
+
+def test_contamination_check_planted(spark, duck):
+    from roadgrinder_spark.operators import dedup
+
+    bench_text = "the quick brown fox jumps over the lazy benchmark dog"
+    rows = [
+        (1, f"intro text then {bench_text} and some trailing words"),
+        (2, "completely unrelated content with no overlap whatsoever"),
+        (3, bench_text),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    probes = spark.createDataFrame([(bench_text,)], "text string")
+    got = {r["doc_id"]: r for r in dedup.contamination_check(docs, probes).collect()}
+    assert set(got) == {1, 3}  # doc 2 is clean
+    assert got[3]["hit_rate"] == 1.0  # verbatim probe: every shingle hits
+    assert 0 < got[1]["hit_rate"] < 1.0
+    # corpus-scale oracle parity (probe = deterministic corpus slice)
+    corpus = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    from pyspark.sql import functions as SF
+
+    got_c = dedup.contamination_check(
+        corpus, corpus.filter(SF.col("doc_id") % 97 == 0)
+    )
+    osql = (
+        "WITH ct_probes AS (SELECT * FROM documents WHERE doc_id % 97 = 0), "
+        + dedup.oracle_contamination_sql("ct_probes").strip()
+    )
+    assert_frames_match(got_c, duck.sql(osql).df(), "contamination")
