@@ -223,13 +223,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_id", T.bpe_ish_token_count(F.col("text")).alias("n_subwords")
     )
     q["bigram_lm_scores"] = lambda s, d: T.bigram_lm_scores(_docs(s, d))
-    # gate form: exploded scalar rows — the driver's value hash is not
+    # gate form: dense scalar rows — the driver's value hash is not
     # defined over array-typed result columns
-    q["text_embed_hashed"] = lambda s, d: T.hashed_ngram_embedding(
+    q["text_embed_hashed"] = lambda s, d: T.hashed_ngram_embedding_rows(
         _docs(s, d)
-    ).select(
-        "doc_id",
-        F.posexplode("embedding").alias("bucket", "cnt"),
     )
     q["dedup_embedding"] = lambda s, d: (
         ship_package(s), dedup.embedding_near_dups(_embs(s, d))

@@ -128,6 +128,24 @@ def run_suite() -> dict:
     timed("q_minhash_lsh", lambda: dedup.minhash_lsh_pairs(docs, threshold=0.3).count())
     timed("q_dedup_embedding", lambda: dedup.embedding_near_dups(embs).count())
     timed("q_hourly_rollup", lambda: events.hourly_rollup(evts).count())
+    # round-3 curation operators
+    from roadgrinder_spark.operators import sampling, sketches
+
+    # aggregate a COMPUTED column in each probe — a bare count() lets
+    # Catalyst prune the projection and times an empty scan
+    timed("q_pii_redact", lambda: T.pii_redact(docs).agg(
+        F.sum(F.length("text_redacted")), F.sum("n_emails")).collect())
+    timed("q_text_embed", lambda: T.hashed_ngram_embedding(docs).agg(
+        F.sum(F.expr("aggregate(embedding, 0L, (a, x) -> a + x)"))).collect())
+    timed("q_contamination", lambda: dedup.contamination_check(
+        docs, docs.filter(F.col("doc_id") % 97 == 0)).agg(
+        F.sum("n_hits")).collect())
+    timed("q_mixture_resample", lambda: sampling.mixture_resample(
+        docs.select("doc_id", "source"), "source",
+        {"src0": 0.02, "src1": 0.002, "src2": 0.05}).count())
+    timed("q_kmv_distinct", lambda: sketches.kmv_distinct(docs, "text", k=256).collect())
+    timed("q_asof_join", lambda: events.asof_join(evts).agg(
+        F.sum("lag_us")).collect())
     # timed brute-force run doubles as the recall baseline (collect once,
     # don't pay the O(N²) kernel twice)
     bf_rows: list = []

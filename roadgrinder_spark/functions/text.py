@@ -386,23 +386,51 @@ from .phash import B1 as _EMB_BASE
 from .phash import poly8_sql as _poly8_sql
 
 
-def hashed_ngram_embedding(docs, dim: int = 64, k: int = 3, text_col: str = "text"):
-    """(doc_id, embedding: array<bigint>[dim]) — bag-of-k-gram counts
-    folded into `dim` buckets by the portable hash. Null text → all-zero
-    vector (matches the oracle's dense zero fill)."""
+def hashed_ngram_embedding_rows(
+    docs, dim: int = 64, k: int = 3, text_col: str = "text"
+):
+    """Dense row form (doc_id, bucket, cnt) of the hashed embedding.
+
+    Plan: gram-hash transform → explode → ONE (doc_id, bucket) hash
+    aggregate → zero-filled dense frame. The first cut counted buckets
+    with 64 per-row `filter(_h, ...)` higher-order calls — Spark HOFs are
+    INTERPRETED per element and the hash transform re-evaluated per
+    bucket, measured 183 s at sf0.1; this explode+aggregate plan does the
+    identical arithmetic once per gram (0.9 s) and is the shape that
+    scales (shuffle keyed by doc, bounded per-key width = dim)."""
     grams = (
         f"transform(sequence(1, greatest(1, length({text_col}) - {k - 1})), "
         f"i -> substring({text_col}, i, {k}))"
     )
     hashes = f"transform(_gs, s -> {_poly8_sql('s', _EMB_BASE)} % {dim})"
-    counts = (
-        f"transform(sequence(0, {dim - 1}), "
-        f"j -> CAST(size(filter(_h, h -> h = j)) AS BIGINT))"
+    from ..session import spread_input as _spread_in
+
+    cnts = (
+        _spread_in(docs.select("doc_id", text_col))
+        .withColumn("_gs", F.expr(grams))
+        .select("doc_id", F.explode(F.expr(hashes)).alias("bucket"))
+        .where(F.col("bucket").isNotNull())
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    return (
-        docs.withColumn("_gs", F.expr(grams))
-        .withColumn("_h", F.expr(hashes))
-        .select("doc_id", F.expr(counts).alias("embedding"))
+    frame = docs.select("doc_id").distinct().select(
+        "doc_id", F.explode(F.expr(f"sequence(0, {dim - 1})")).alias("bucket")
+    )
+    return frame.join(cnts, ["doc_id", "bucket"], "left").select(
+        "doc_id", "bucket", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt")
+    )
+
+
+def hashed_ngram_embedding(docs, dim: int = 64, k: int = 3, text_col: str = "text"):
+    """(doc_id, embedding: array<bigint>[dim]) — bag-of-k-gram counts
+    folded into `dim` buckets by the portable hash. Null text → all-zero
+    vector (matches the oracle's dense zero fill). Assembled from the
+    row form (see hashed_ngram_embedding_rows for the plan rationale)."""
+    rows = hashed_ngram_embedding_rows(docs, dim=dim, k=k, text_col=text_col)
+    return rows.groupBy("doc_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(bucket, cnt))), s -> s.cnt)"
+        ).alias("embedding")
     )
 
 
