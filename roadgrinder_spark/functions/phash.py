@@ -59,3 +59,29 @@ def poly8_py(s: str, base: int) -> int:
     pows = _powers(base)
     acc = sum(ord(c) * pows[7 - i] for i, c in enumerate(s[:8]))
     return (acc + len(s) * LEN_SALT) % P
+
+
+def md5_prefix_value(h, nibbles: int):
+    """Column: first `nibbles` hex chars of an md5 Column decoded as a
+    BIGINT — the engine-portable hex parse (no hex-decode builtin exists
+    in the shared Spark/DuckDB subset; instr over the hex alphabet does).
+    Shared by sampling (4 nibbles) and the KMV sketch (12 nibbles)."""
+    from pyspark.sql import functions as F
+
+    out = F.lit(0).cast("long")
+    for i in range(nibbles):
+        out = out * 16 + (
+            F.instr(F.lit("0123456789abcdef"), F.substring(h, i + 1, 1)) - 1
+        )
+    return out
+
+
+def md5_prefix_sql(h: str, nibbles: int) -> str:
+    """SQL mirror of md5_prefix_value."""
+    expr = "CAST(0 AS BIGINT)"
+    for i in range(nibbles):
+        expr = (
+            f"({expr}) * 16 + "
+            f"(instr('0123456789abcdef', substring({h}, {i + 1}, 1)) - 1)"
+        )
+    return expr

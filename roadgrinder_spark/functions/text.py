@@ -398,9 +398,13 @@ def hashed_ngram_embedding_rows(
     bucket, measured 183 s at sf0.1; this explode+aggregate plan does the
     identical arithmetic once per gram (0.9 s) and is the shape that
     scales (shuffle keyed by doc, bounded per-key width = dim)."""
+    # texts shorter than k yield NO grams (an empty/NULL text must embed
+    # as the zero vector, not as one phantom truncated gram — review r3)
     grams = (
-        f"transform(sequence(1, greatest(1, length({text_col}) - {k - 1})), "
-        f"i -> substring({text_col}, i, {k}))"
+        f"CASE WHEN length({text_col}) >= {k} THEN "
+        f"transform(sequence(1, length({text_col}) - {k - 1}), "
+        f"i -> substring({text_col}, i, {k})) "
+        f"ELSE CAST(array() AS array<string>) END"
     )
     hashes = f"transform(_gs, s -> {_poly8_sql('s', _EMB_BASE)} % {dim})"
     from ..session import spread_input as _spread_in
@@ -423,9 +427,10 @@ def hashed_ngram_embedding_rows(
 
 def hashed_ngram_embedding(docs, dim: int = 64, k: int = 3, text_col: str = "text"):
     """(doc_id, embedding: array<bigint>[dim]) — bag-of-k-gram counts
-    folded into `dim` buckets by the portable hash. Null text → all-zero
-    vector (matches the oracle's dense zero fill). Assembled from the
-    row form (see hashed_ngram_embedding_rows for the plan rationale)."""
+    folded into `dim` buckets by the portable hash. Null, empty, or
+    shorter-than-k text → the all-zero vector (no phantom truncated
+    gram; matches the oracle's dense zero fill). Assembled from the row
+    form (see hashed_ngram_embedding_rows for the plan rationale)."""
     rows = hashed_ngram_embedding_rows(docs, dim=dim, k=k, text_col=text_col)
     return rows.groupBy("doc_id").agg(
         F.expr(
@@ -446,7 +451,8 @@ he_grams AS (
   SELECT d.doc_id, ({h}) % {dim} AS bucket
   FROM {table} d,
        LATERAL (SELECT substring(d.{text_col}, CAST(p.pos AS INT), {k}) AS gs
-                FROM (SELECT unnest(range(1, greatest(1, length(d.{text_col}) - {k - 1}) + 1)) AS pos) p) g
+                FROM (SELECT unnest(range(1, CASE WHEN length(d.{text_col}) >= {k}
+                      THEN length(d.{text_col}) - {k - 1} + 1 ELSE 1 END)) AS pos) p) g
 ),
 he_counts AS (
   SELECT doc_id, bucket, count(*) AS c FROM he_grams GROUP BY 1, 2
@@ -474,7 +480,8 @@ he_grams AS (
   SELECT d.doc_id, ({h}) % {dim} AS bucket
   FROM {table} d,
        LATERAL (SELECT substring(d.{text_col}, CAST(p.pos AS INT), {k}) AS gs
-                FROM (SELECT unnest(range(1, greatest(1, length(d.{text_col}) - {k - 1}) + 1)) AS pos) p) g
+                FROM (SELECT unnest(range(1, CASE WHEN length(d.{text_col}) >= {k}
+                      THEN length(d.{text_col}) - {k - 1} + 1 ELSE 1 END)) AS pos) p) g
 ),
 he_counts AS (
   SELECT doc_id, bucket, count(*) AS c FROM he_grams GROUP BY 1, 2

@@ -860,8 +860,8 @@ def _signlsh_candidates(
 
     dim_row = (
         embeddings.filter(F.col("embedding").isNotNull())
-        .select(F.max(F.size("embedding")).alias("d"))
-        .first()
+        .select(F.size("embedding").alias("d"))
+        .first()  # O(1): first non-null row, no full-table aggregate
     )
     dim = dim_row["d"] if dim_row is not None else None
     if not dim or dim <= 0:  # empty / all-null input → empty candidates
@@ -943,6 +943,20 @@ WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 # set, then a per-doc count — no pairwise doc×probe work anywhere.
 # ---------------------------------------------------------------------------
 
+def _full_shingles_expr(text_col: str, k: int) -> str:
+    """Distinct FULL k-shingles only: texts shorter than k yield none —
+    contamination means verbatim k-char overlap, and the ngram-Jaccard
+    truncated-gram contract (shingles(): sub-k text hashes as one
+    whole-text shingle) would let a 3-char doc "contaminate" on a 3-char
+    match (review r3)."""
+    return (
+        f"CASE WHEN length({text_col}) >= {k} THEN "
+        f"array_distinct(transform(sequence(1, length({text_col}) - {k - 1}), "
+        f"i -> substring({text_col}, i, {k}))) "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
+
+
 def contamination_check(
     docs: DataFrame,
     probes: DataFrame,
@@ -950,19 +964,24 @@ def contamination_check(
     min_hits: int = 1,
 ) -> DataFrame:
     """(doc_id, n_hits, n_sh, hit_rate) for docs with >= min_hits distinct
-    k-shingles that appear in ANY probe text. `probes` needs a `text`
-    column; k defaults longer than near-dup shingles (12) — contamination
-    cares about verbatim benchmark strings, not fuzzy similarity."""
-    doc_sh = shingles(docs, k)
+    FULL k-shingles that appear in ANY probe text. `probes` needs a
+    `text` column; k defaults longer than near-dup shingles (12) —
+    contamination cares about verbatim benchmark strings, not fuzzy
+    similarity. Docs or probes shorter than k contribute nothing."""
+    from pyspark import StorageLevel
+
+    doc_sh = (
+        _spread(docs)
+        .select("doc_id", F.explode(F.expr(_full_shingles_expr("text", k))).alias("shingle"))
+        # feeds BOTH the sizes aggregate and the probe join — persist +
+        # eager count or the corpus-wide explode runs twice (the r2
+        # dedup_clusters double-evaluation lesson)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    doc_sh.count()
     probe_sh = (
         probes.select(
-            F.explode(
-                F.expr(
-                    f"array_distinct(transform("
-                    f"sequence(1, greatest(1, length(text) - {k - 1})), "
-                    f"i -> substring(text, i, {k})))"
-                )
-            ).alias("shingle")
+            F.explode(F.expr(_full_shingles_expr("text", k))).alias("shingle")
         )
         .distinct()
     )
@@ -973,12 +992,19 @@ def contamination_check(
         .agg(F.count(F.lit(1)).alias("n_hits"))
         .filter(F.col("n_hits") >= min_hits)
     )
-    return hits.join(sizes, "doc_id").select(
-        "doc_id",
-        "n_hits",
-        "n_sh",
-        F.round(F.col("n_hits") / F.col("n_sh"), 6).alias("hit_rate"),
+    out = (
+        hits.join(sizes, "doc_id")
+        .select(
+            "doc_id",
+            "n_hits",
+            "n_sh",
+            F.round(F.col("n_hits") / F.col("n_sh"), 6).alias("hit_rate"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    out.count()  # output-sized; lets the big shingle cache go now
+    doc_sh.unpersist()
+    return out
 
 
 def oracle_contamination_sql(
@@ -988,7 +1014,8 @@ def oracle_contamination_sql(
         return (
             f"SELECT DISTINCT {cols} substring(d.text, CAST(p.pos AS INT), {k}) AS shingle "
             f"FROM {tbl} d, LATERAL (SELECT unnest(range(1, "
-            f"greatest(1, length(d.text) - {k - 1}) + 1)) AS pos) p"
+            f"CASE WHEN length(d.text) >= {k} THEN length(d.text) - {k - 1} + 1 "
+            f"ELSE 1 END)) AS pos) p"
         )
 
     return f"""

@@ -25,27 +25,15 @@ from pyspark.sql import functions as F
 N_BUCKETS = 1 << 16
 
 
+from ..functions.phash import md5_prefix_sql, md5_prefix_value
+
+
 def _bucket_col(key: str):
-    h = F.md5(F.col(key).cast("string"))
-    nibbles = [
-        F.instr(F.lit("0123456789abcdef"), F.substring(h, i + 1, 1)) - 1
-        for i in range(4)
-    ]
-    out = F.lit(0)
-    for nb in nibbles:
-        out = out * 16 + nb
-    return out.cast("long")
+    return md5_prefix_value(F.md5(F.col(key).cast("string")), 4)
 
 
 def _bucket_sql(key: str) -> str:
-    h = f"md5(CAST({key} AS STRING))"
-    expr = "CAST(0 AS BIGINT)"
-    for i in range(4):
-        expr = (
-            f"({expr}) * 16 + "
-            f"(instr('0123456789abcdef', substring({h}, {i + 1}, 1)) - 1)"
-        )
-    return expr
+    return md5_prefix_sql(f"md5(CAST({key} AS STRING))", 4)
 
 
 def hash_split(

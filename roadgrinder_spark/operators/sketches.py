@@ -33,21 +33,15 @@ PREFIX_NIBBLES = 12
 HASH_SPACE = float(16 ** PREFIX_NIBBLES)
 
 
+from ..functions.phash import md5_prefix_sql, md5_prefix_value
+
+
 def _prefix_value(h):
-    out = F.lit(0).cast("long")  # 12 nibbles ≈ 2.8e14 — must be BIGINT
-    for i in range(PREFIX_NIBBLES):
-        out = out * 16 + (F.instr(F.lit("0123456789abcdef"), F.substring(h, i + 1, 1)) - 1)
-    return out.cast("double")
+    return md5_prefix_value(h, PREFIX_NIBBLES).cast("double")
 
 
 def _prefix_value_sql(h: str) -> str:
-    expr = "CAST(0 AS BIGINT)"
-    for i in range(PREFIX_NIBBLES):
-        expr = (
-            f"({expr}) * 16 + "
-            f"(instr('0123456789abcdef', substring({h}, {i + 1}, 1)) - 1)"
-        )
-    return f"CAST({expr} AS DOUBLE)"
+    return f"CAST({md5_prefix_sql(h, PREFIX_NIBBLES)} AS DOUBLE)"
 
 
 def kmv_distinct(df: DataFrame, col: str = "text", k: int = 256) -> DataFrame:
@@ -91,8 +85,11 @@ FROM (
 def kmv_distinct_per_group(
     df: DataFrame, group_col: str, col: str, k: int = 64
 ) -> DataFrame:
-    """Per-group KMV: (group, n_kept, est_distinct) — one shuffle by
-    group, windowed min-k over distinct hashes."""
+    """Per-group KMV: (group, n_kept, est_distinct). Two exchanges:
+    the distinct partitions by (group, hash), the min-k window
+    re-partitions by group — the honest cost model; a single-shuffle
+    form would need per-partition min-k pre-aggregation (the merge
+    property makes that straightforward when it matters)."""
     w = Window.partitionBy(group_col).orderBy("h")
     topk = (
         df.select(F.col(group_col), F.md5(F.col(col).cast("string")).alias("h"))

@@ -70,22 +70,21 @@ def spread_input(df):
         if df.rdd.getNumPartitions() >= target:
             return df
         return df.repartition(target)
-    if files:
-        if len(files) >= target:
-            return df
-        import os as _os
+    if len(files) >= target:
+        return df
+    import os as _os
 
-        raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
-        mpb = _parse_bytes(str(raw))
-        est = 0
-        for f in files:
-            p = f[7:] if f.startswith("file://") else f
-            try:
-                est += max(1, -(-_os.path.getsize(p) // mpb))
-            except OSError:
-                est += 1
-            if est >= target:
-                return df
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    mpb = _parse_bytes(str(raw))
+    est = 0
+    for f in files:
+        p = f[7:] if f.startswith("file://") else f
+        try:
+            est += max(1, -(-_os.path.getsize(p) // mpb))
+        except OSError:
+            est += 1
+        if est >= target:
+            return df
     return df.repartition(target)
 
 

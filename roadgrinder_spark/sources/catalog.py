@@ -114,7 +114,11 @@ class TableCatalog:
         multi-matching source, and silently writing both rows would
         corrupt key uniqueness for every downstream reader."""
         n_dup = (
-            df.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
+            df.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("_n"))  # aliased: a key named
+            .filter(F.col("_n") > 1)             # 'count' must not clash
+            .limit(1)
+            .count()
         )
         if n_dup:
             raise ValueError(

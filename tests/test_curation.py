@@ -298,3 +298,21 @@ def test_contamination_check_planted(spark, duck):
         + dedup.oracle_contamination_sql("ct_probes").strip()
     )
     assert_frames_match(got_c, duck.sql(osql).df(), "contamination")
+
+
+def test_short_text_yields_zero_embedding_and_no_contamination(spark):
+    """Review r3: sub-k texts must produce NO grams — empty/short docs
+    embed as zero vectors and cannot 'contaminate' on truncated grams."""
+    from roadgrinder_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "ab"), (3, None), (4, "abcdefgh long enough text")],
+        "doc_id long, text string",
+    )
+    emb = {r["doc_id"]: r["embedding"]
+           for r in T.hashed_ngram_embedding(docs, dim=8, k=3).collect()}
+    assert emb[1] == [0] * 8 and emb[2] == [0] * 8 and emb[3] == [0] * 8
+    assert sum(emb[4]) > 0
+    probes = spark.createDataFrame([("ab",), ("xyz",)], "text string")
+    out = dedup.contamination_check(docs, probes, k=12)
+    assert out.count() == 0  # nothing >= 12 chars overlaps
