@@ -228,6 +228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_embed_hashed"] = lambda s, d: T.hashed_ngram_embedding_rows(
         _docs(s, d)
     )
+    q["repetition_stats"] = lambda s, d: T.repetition_stats(_docs(s, d))
     q["dedup_embedding"] = lambda s, d: (
         ship_package(s), dedup.embedding_near_dups(_embs(s, d))
     )[1]
@@ -409,6 +410,7 @@ def oracle_sql() -> dict[str, str]:
     o["text_embed_hashed"] = _with(
         *_split_body(T.oracle_hashed_embedding_rows_sql())
     )
+    o["repetition_stats"] = _with(*_split_body(T.oracle_repetition_sql()))
     # media trio: the decode stub is md5-arithmetic, which DuckDB can
     # reproduce exactly (media.py oracle builders)
     M = media.oracle_media_cte()

@@ -493,3 +493,87 @@ he_frame AS (
 SELECT f.doc_id, f.bucket, CAST(coalesce(c.c, 0) AS BIGINT) AS cnt
 FROM he_frame f LEFT JOIN he_counts c
   ON c.doc_id = f.doc_id AND c.bucket = f.bucket"""
+
+
+# ---------------------------------------------------------------------------
+# repetition quality signals (the Gopher/MassiveText-style repetition
+# rules that sit next to quality_score in a filtering pipeline):
+#   dup_line_frac  — fraction of a doc's lines that are repeats
+#   top2gram_frac  — share of word-bigram occurrences taken by the doc's
+#                    single most frequent bigram
+# Line stats are per-row JVM array ops; the bigram mode is explode → one
+# (doc, bigram) hash aggregate → per-doc max/sum — NOT a per-row
+# higher-order mode search (the interpreted-HOF lesson: never scan an
+# array O(n²) inside a lambda when an explode+aggregate does it in one
+# shuffle).
+# ---------------------------------------------------------------------------
+
+def repetition_stats(docs, text_col: str = "text"):
+    """(doc_id, n_lines, dup_line_frac, n_bigrams, top2gram_frac).
+    Null text propagates null metrics; docs with < 2 words have
+    n_bigrams = 0 and null top2gram_frac."""
+    lines = f"split({text_col}, '\\n')"
+    base = docs.select(
+        "doc_id",
+        F.expr(f"size({lines})").alias("n_lines"),
+        F.round(
+            F.expr(
+                f"1.0 - CAST(size(array_distinct({lines})) AS DOUBLE) / size({lines})"
+            ),
+            6,
+        ).alias("dup_line_frac"),
+        F.expr(f"filter(split({text_col}, '\\\\s+'), w -> w <> '')").alias("_w"),
+    )
+    bigrams = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, greatest(0, size(_w) - 2)), "
+                # get(): null (not an ANSI error) beyond the end on
+                # 0/1-word docs
+                "i -> concat(get(_w, i), ' ', get(_w, i + 1)))"
+            )
+        ).alias("bg"),
+    ).where(F.col("bg").isNotNull())
+    per_bg = bigrams.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    agg = per_bg.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("top2gram_frac"),
+    )
+    return (
+        base.select("doc_id", "n_lines", "dup_line_frac")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            "dup_line_frac",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "top2gram_frac",
+        )
+    )
+
+
+def oracle_repetition_sql(table: str = "documents", text_col: str = "text") -> str:
+    return rf"""
+rp_base AS (
+  SELECT doc_id,
+         len(string_split({text_col}, chr(10))) AS n_lines,
+         round(1.0 - CAST(len(list_distinct(string_split({text_col}, chr(10)))) AS DOUBLE)
+               / len(string_split({text_col}, chr(10))), 6) AS dup_line_frac,
+         list_filter(regexp_split_to_array({text_col}, '\s+'), w -> w <> '') AS _w
+  FROM {table}
+),
+rp_bg AS (
+  SELECT b.doc_id, concat(b._w[CAST(p.i AS INT)], ' ', b._w[CAST(p.i AS INT) + 1]) AS bg
+  FROM rp_base b,
+       LATERAL (SELECT unnest(range(1, greatest(1, len(b._w) - 1) + 1)) AS i) p
+  WHERE len(b._w) >= 2 AND CAST(p.i AS INT) <= len(b._w) - 1
+),
+rp_cnt AS (SELECT doc_id, bg, count(*) AS c FROM rp_bg GROUP BY 1, 2),
+rp_agg AS (
+  SELECT doc_id, sum(c) AS n_bigrams, round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top2gram_frac
+  FROM rp_cnt GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_lines, b.dup_line_frac,
+       CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams, a.top2gram_frac
+FROM rp_base b LEFT JOIN rp_agg a ON a.doc_id = b.doc_id"""

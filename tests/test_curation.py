@@ -316,3 +316,26 @@ def test_short_text_yields_zero_embedding_and_no_contamination(spark):
     probes = spark.createDataFrame([("ab",), ("xyz",)], "text string")
     out = dedup.contamination_check(docs, probes, k=12)
     assert out.count() == 0  # nothing >= 12 chars overlaps
+
+
+def test_repetition_stats_planted_and_oracle(spark, duck):
+    rows = [
+        (1, "same line\nsame line\nsame line\nother line"),
+        (2, "spam spam spam spam spam"),
+        (3, "all words here are fully distinct tokens"),
+        (4, None),
+        (5, "one"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in T.repetition_stats(df).collect()}
+    assert got[1]["n_lines"] == 4 and got[1]["dup_line_frac"] == 0.5
+    assert got[2]["top2gram_frac"] == 1.0  # 'spam spam' is every bigram
+    assert got[3]["dup_line_frac"] == 0.0 and got[3]["top2gram_frac"] < 0.5
+    assert got[4]["dup_line_frac"] is None  # null text propagates
+    assert got[5]["n_bigrams"] == 0 and got[5]["top2gram_frac"] is None
+    corpus = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert_frames_match(
+        T.repetition_stats(corpus),
+        duck.sql("WITH " + T.oracle_repetition_sql().strip()).df(),
+        "repetition",
+    )
