@@ -7,11 +7,19 @@ Usage (local dev also works with plain `python -m roadgrinder_spark`):
       -m roadgrinder_spark ... # or path to this file
   python -m roadgrinder_spark --sf-dir /root/testdata/sf0.001 \
       --output /tmp/rg_out --run-id r1 [--cell-size 125] [--radius 100] \
-      [--salt-threshold N] [--strict-acs]
+      [--salt-threshold N] [--strict-acs] [--job pipeline]
 
-Runs: derive (or read) the span-document substrate → full grinder
-pipeline with checkpointed stages → prints a one-line JSON metrics
+--job pipeline (default): derive (or read) the span-document substrate →
+full grinder pipeline with checkpointed stages → one-line JSON metrics
 summary (match rate, throughput, per-stage manifest path).
+
+Curation jobs over a documents parquet (--documents or the sf-dir
+documents table), each writing parquet under --output and printing a
+one-line JSON row-count summary:
+  --job dedup_clusters   near-dup clusters (keep-one-per-cluster)
+  --job hash_split       deterministic train/val/test assignment
+  --job pii_redact       email/SSN/IP/phone scrubbing
+  --job quality          token/lang/quality + repetition signals
 """
 
 from __future__ import annotations
@@ -37,13 +45,23 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--strict-acs", action="store_true")
     p.add_argument("--master", default=None,
                    help="override master (default: SPARK_GRAFT_CPUS local)")
+    p.add_argument("--job", default="pipeline",
+                   choices=["pipeline", "dedup_clusters", "hash_split",
+                            "pii_redact", "quality"])
     args = p.parse_args(argv)
 
     from .plans.pipeline import GrinderConfig, RoadGrinderPipeline
     from .session import build_session
 
+    from pyspark.sql import SparkSession
+
+    # embedding main() programmatically (tests, notebooks) must not kill
+    # a session the caller owns — getOrCreate reuses the active one
+    owns_session = SparkSession.getActiveSession() is None
     spark = build_session(app_name=f"roadgrinder-{args.run_id}", master=args.master)
     try:
+        if args.job != "pipeline":
+            return _run_curation_job(spark, args)
         if args.documents:
             docs = spark.read.parquet(args.documents)
         else:
@@ -69,7 +87,45 @@ def main(argv: list[str] | None = None) -> int:
                           "metrics": res.metrics}))
         return 0
     finally:
-        spark.stop()
+        if owns_session:
+            spark.stop()
+
+
+def _run_curation_job(spark, args) -> int:
+    """Curation jobs: read the documents table, run one operator, write
+    parquet, print a one-line JSON summary."""
+    from pyspark.sql import functions as F
+
+    src = args.documents or f"{args.sf_dir}/documents.parquet"
+    docs = spark.read.parquet(src)
+    if args.job == "dedup_clusters":
+        from .operators.dedup import dedup_clusters
+
+        out = dedup_clusters(docs, threshold=0.5, max_df=1000)
+    elif args.job == "hash_split":
+        from .operators.sampling import hash_split
+
+        out = hash_split(docs)
+    elif args.job == "pii_redact":
+        from .functions.text import pii_redact
+
+        out = pii_redact(docs)
+    else:  # quality
+        from .functions import text as T
+
+        stats = docs.select(
+            "doc_id",
+            T.token_count(F.col("text")).alias("n_tokens"),
+            T.lang_id(F.col("text")).alias("lang_pred"),
+            F.round(T.quality_score(F.col("text")), 6).alias("quality"),
+        )
+        out = stats.join(T.repetition_stats(docs), "doc_id")
+    dest = f"{args.output}/{args.job}"
+    out.write.mode("overwrite").parquet(dest)
+    n = spark.read.parquet(dest).count()
+    print(json.dumps({"run_id": args.run_id, "job": args.job,
+                      "output": dest, "rows": n}))
+    return 0
 
 
 if __name__ == "__main__":

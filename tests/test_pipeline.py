@@ -125,3 +125,32 @@ def test_spark_submit_py_files_launch(tmp_path):
     assert summary["metrics"]["matched"] > 0
     assert summary["metrics"]["match_rate"] > 0
     assert os.path.isdir(out_dir)
+
+
+def test_cli_curation_jobs(spark, tmp_path):
+    """--job subcommands: each reads the documents table, writes parquet,
+    and reports rows (the CLI face of the curation operators)."""
+    import contextlib
+    import io
+    import json
+
+    from roadgrinder_spark.__main__ import main
+
+    for job, check in (
+        ("hash_split", lambda df: set(df.columns) >= {"doc_id", "split"}),
+        ("pii_redact", lambda df: "text_redacted" in df.columns),
+        ("dedup_clusters", lambda df: "is_keeper" in df.columns),
+    ):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = main([
+                "--sf-dir", "/root/testdata/sf0.001",
+                "--output", str(tmp_path / "cli"), "--run-id", "t",
+                "--job", job, "--master", "local[4]",
+            ])
+        assert rc == 0
+        line = [l for l in buf.getvalue().splitlines() if l.startswith("{")][-1]
+        meta = json.loads(line)
+        assert meta["rows"] > 0
+        out = spark.read.parquet(meta["output"])
+        assert check(out)
