@@ -211,6 +211,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(s, d), "source", "text", k=16
     )
 
+    def _cm_tokens(s, d):
+        # tokens via the pyspark API (F.split takes the Java regex
+        # directly — no second level of SQL string-escape parsing)
+        toks = _docs(s, d).select(
+            F.explode(
+                F.filter(
+                    F.split(F.col("text"), r"\s+"), lambda w: w != F.lit("")
+                )
+            ).alias("tok")
+        )
+        return sketches.cm_sketch(toks, "tok", depth=4, width=128)
+
+    # count-min register state over the token stream — approximate
+    # structure, exact (hash-checked) state
+    q["cm_token_sketch"] = _cm_tokens
+
     # -- text analysis ------------------------------------------------------
     q["text_stats"] = lambda s, d: _docs(s, d).select(
         "doc_id",
@@ -365,6 +381,12 @@ def oracle_sql() -> dict[str, str]:
     )
     o["kmv_per_source"] = sketches.oracle_kmv_per_group_sql(
         "documents", "source", "text", k=16
+    )
+    o["cm_token_sketch"] = sketches.oracle_cm_sketch_sql(
+        r"""SELECT t.tok FROM documents d,
+            LATERAL (SELECT unnest(regexp_split_to_array(d.text, '\s+')) AS tok) t
+            WHERE t.tok <> ''""",
+        "tok", depth=4, width=128,
     )
     o["dedup_exact"] = dedup.ORACLE_DEDUP_EXACT
     o["ngram_jaccard"] = _with(

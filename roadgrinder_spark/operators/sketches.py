@@ -127,3 +127,100 @@ FROM (
   ) WHERE _rk <= {k}
 )
 GROUP BY {group_col}"""
+
+
+# ---------------------------------------------------------------------------
+# Count-Min frequency sketch (Cormode & Muthukrishnan 2005): depth
+# independent hash rows × width buckets of integer counters. Registers
+# are EXACT aggregates of portable hashes, so both engines compute the
+# identical sketch — approximate answers, value-hash-checkable state.
+# Point estimate = min over rows of the item's register (one-sided:
+# never under-counts). Sketches merge by register addition; the explode
+# is depth× the token stream feeding ONE hash aggregate of width·depth
+# cells — constant-size state at any corpus size.
+# ---------------------------------------------------------------------------
+
+def cm_sketch(
+    df: DataFrame, col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """(r, bucket, cnt) counter registers over occurrences of `col`."""
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    (
+                        md5_prefix_value(
+                            F.md5(
+                                F.concat(
+                                    F.lit(f"cm{r}:"), F.col(col).cast("string")
+                                )
+                            ),
+                            4,
+                        )
+                        % width
+                    ).alias("bucket"),
+                )
+                for r in range(depth)
+            ]
+        )
+    ).alias("rb")
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(rows)
+        .groupBy(F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def oracle_cm_sketch_sql(
+    source_sql: str, col: str, depth: int = 4, width: int = 256
+) -> str:
+    """`source_sql` is a relation producing one row per occurrence with
+    column `col`."""
+    arms = []
+    for r in range(depth):
+        h = f"md5('cm{r}:' || CAST({col} AS STRING))"
+        arms.append(
+            f"SELECT {r} AS r, ({md5_prefix_sql(h, 4)}) % {width} AS bucket "
+            f"FROM ({source_sql}) WHERE {col} IS NOT NULL"
+        )
+    arms = " UNION ALL ".join(arms)
+    return f"SELECT r, bucket, count(*) AS cnt FROM ({arms}) GROUP BY r, bucket"
+
+
+def cm_estimate(
+    sketch: DataFrame, items: DataFrame, col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Point-estimate counts for `items[col]`: min over the depth rows of
+    each item's register (missing register = 0). One broadcast of the
+    (width·depth)-row sketch; never under-counts."""
+    probes = items.select(F.col(col)).distinct()
+    exploded = probes.select(
+        col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        (
+                            md5_prefix_value(
+                                F.md5(
+                                    F.concat(
+                                        F.lit(f"cm{r}:"), F.col(col).cast("string")
+                                    )
+                                ),
+                                4,
+                            )
+                            % width
+                        ).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select(col, F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
+    joined = exploded.join(F.broadcast(sketch), ["r", "bucket"], "left")
+    return joined.groupBy(col).agg(
+        F.min(F.coalesce("cnt", F.lit(0))).alias("est_count")
+    )

@@ -339,3 +339,33 @@ def test_repetition_stats_planted_and_oracle(spark, duck):
         duck.sql("WITH " + T.oracle_repetition_sql().strip()).df(),
         "repetition",
     )
+
+
+def test_cm_sketch_oracle_and_bounds(spark, duck):
+    """Count-min registers are engine-identical; estimates never
+    under-count and are exact for heavy hitters at this width."""
+    from roadgrinder_spark.operators import sketches
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != F.lit(""))
+        ).alias("tok")
+    )
+    sk = sketches.cm_sketch(toks, "tok", depth=4, width=128)
+    src = (
+        r"""SELECT t.tok FROM documents d,
+        LATERAL (SELECT unnest(regexp_split_to_array(d.text, '\s+')) AS tok) t
+        WHERE t.tok <> ''"""
+    )
+    assert_frames_match(
+        sk, duck.sql(sketches.oracle_cm_sketch_sql(src, "tok", 4, 128)).df(), "cm"
+    )
+    true = toks.groupBy("tok").count()
+    top = true.orderBy(F.desc("count")).limit(10)
+    est = sketches.cm_estimate(sk, top, "tok", depth=4, width=128)
+    j = est.join(true, "tok").collect()
+    assert all(r["est_count"] >= r["count"] for r in j)  # one-sided
+    assert sum(r["est_count"] - r["count"] for r in j) <= 0.05 * sum(
+        r["count"] for r in j
+    )
