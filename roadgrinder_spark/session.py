@@ -70,21 +70,28 @@ def spread_input(df):
         if df.rdd.getNumPartitions() >= target:
             return df
         return df.repartition(target)
-    if len(files) >= target:
-        return df
     import os as _os
 
+    # Estimate the scan's partition count the way FilePartition packing
+    # does: total bytes padded by openCostInBytes per file, divided by the
+    # split size. A per-file floor of one split is WRONG here — Spark
+    # packs many tiny files into one split, so "many files" is not
+    # "already parallel" (ADVICE r3: a 1000-tiny-file table coalesces to
+    # 1-2 scan partitions and downstream kernels run near-serial).
     raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
     mpb = _parse_bytes(str(raw))
-    est = 0
+    open_cost = _parse_bytes(
+        str(spark.conf.get("spark.sql.files.openCostInBytes", "4194304b"))
+    )
+    total = 0
     for f in files:
         p = f[7:] if f.startswith("file://") else f
         try:
-            est += max(1, -(-_os.path.getsize(p) // mpb))
+            total += _os.path.getsize(p) + open_cost
         except OSError:
-            est += 1
-        if est >= target:
-            return df
+            total += open_cost
+    if -(-total // mpb) >= target:
+        return df
     return df.repartition(target)
 
 

@@ -124,6 +124,19 @@ class TableCatalog:
             raise ValueError(
                 f"merge into {name}: delta contains duplicate keys {keys}"
             )
+        # NULL key values are rejected for the same reason duplicates are:
+        # the left_anti overwrite below is null-UNSAFE (NULL never equals
+        # NULL), so a NULL-key delta row would coexist with a NULL-key
+        # current row — two rows under one key, breaking the uniqueness
+        # contract this method exists to preserve (ADVICE r3).
+        null_pred = None
+        for k in keys:
+            c = F.col(k).isNull()
+            null_pred = c if null_pred is None else (null_pred | c)
+        if df.filter(null_pred).limit(1).count():
+            raise ValueError(
+                f"merge into {name}: delta contains NULL key values in {keys}"
+            )
         cur = self.read(name)
         kept = cur.join(df.select(*keys).distinct(), keys, "left_anti")
         return self.write(name, kept.unionByName(df), mode="overwrite")

@@ -300,8 +300,57 @@ SELECT level, pcx * {PACK} + pcy + {CY_BIAS} AS cell, pcx, pcy, n FROM (
   SELECT lv.level,
          CAST(FLOOR(r.cx / pow(2, lv.level)) AS BIGINT) AS pcx,
          CAST(FLOOR(r.cy / pow(2, lv.level)) AS BIGINT) AS pcy,
-         sum(r.n) AS n
+         CAST(sum(r.n) AS BIGINT) AS n
   FROM ({base}) r,
        LATERAL (SELECT unnest(range(0, {levels} + 1)) AS level) lv
   GROUP BY 1, 2, 3
+)"""
+
+
+def raster_neighborhood(
+    raster: DataFrame, radius: int = 1, stat: str = "sum"
+) -> DataFrame:
+    """Focal (moving-window) pass over the cell raster — each input cell
+    contributes its count to every cell within Chebyshev distance
+    `radius`. stat='sum' is the box-filter density smoothing behind
+    heatmap tiles; stat='max' is grayscale morphological dilation (the
+    raster half of the raster↔vector toolkit).
+
+    Plan: one (2r+1)^2 offset explode + ONE hash aggregate with map-side
+    partial combine — output cells ≈ input cells, shuffle ≈ 9N rows at
+    r=1, no window functions, no self-join. Survives any raster size the
+    base rasterize handles."""
+    if stat not in ("sum", "max"):
+        raise ValueError(f"raster_neighborhood: stat must be sum|max, got {stat}")
+    offs = F.sequence(F.lit(-radius), F.lit(radius))
+    spread = (
+        raster.select("cx", "cy", "n", F.explode(offs).alias("dx"))
+        .select(
+            (F.col("cx") + F.col("dx")).alias("cx"), "cy", "n",
+            F.explode(offs).alias("dy"),
+        )
+        .select("cx", (F.col("cy") + F.col("dy")).alias("cy"), "n")
+    )
+    agg = F.sum("n") if stat == "sum" else F.max("n")
+    return (
+        spread.groupBy("cx", "cy")
+        .agg(agg.alias("n"))
+        .select(pack_cell(F.col("cx"), F.col("cy")).alias("cell"), "cx", "cy", "n")
+    )
+
+
+def oracle_raster_neighborhood_sql(
+    cell_size: float = DEFAULT_CELL_SIZE, radius: int = 1, stat: str = "sum"
+) -> str:
+    base = oracle_rasterize_points_sql(cell_size)
+    # DuckDB widens sum(BIGINT) to HUGEINT — cast back (the tile_pyramid
+    # hash-mismatch lesson, VERDICT r3)
+    agg = "CAST(sum(r.n) AS BIGINT)" if stat == "sum" else "max(r.n)"
+    return f"""
+SELECT cx * {PACK} + cy + {CY_BIAS} AS cell, cx, cy, n FROM (
+  SELECT r.cx + dx.dx AS cx, r.cy + dy.dy AS cy, {agg} AS n
+  FROM ({base}) r,
+       LATERAL (SELECT unnest(range({-radius}, {radius} + 1)) AS dx) dx,
+       LATERAL (SELECT unnest(range({-radius}, {radius} + 1)) AS dy) dy
+  GROUP BY 1, 2
 )"""
