@@ -577,3 +577,110 @@ rp_agg AS (
 SELECT b.doc_id, b.n_lines, b.dup_line_frac,
        CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams, a.top2gram_frac
 FROM rp_base b LEFT JOIN rp_agg a ON a.doc_id = b.doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# cross-document paragraph dedup (round 4). Within-doc repetition lives in
+# repetition_stats; THIS op measures corpus-level boilerplate — the
+# header/footer/licence paragraphs that appear verbatim across documents
+# (the C4/RefinedWeb line-dedup signal). Plan: explode lines → distinct
+# (doc, md5(line)) → ONE count-per-line aggregate → per-doc rollup. Two
+# shuffles total, everything keyed by a 128-bit line hash (never the line
+# text), so the heavy aggregation state is fixed-width at any corpus size.
+# ---------------------------------------------------------------------------
+
+def paragraph_dedup(docs, text_col: str = "text"):
+    """Per doc: (n_paras, n_shared, shared_frac) where a 'paragraph' is a
+    trimmed non-empty line and 'shared' means the identical paragraph
+    occurs in >= 2 distinct documents. Docs with no paragraphs keep a row
+    with zero counts and null frac (mirror of repetition_stats nulls)."""
+    para = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.col(text_col), "\n", -1)).alias("line"),
+        )
+        .select("doc_id", F.trim(F.col("line")).alias("p"))
+        .filter(F.col("p") != "")
+        .select("doc_id", F.md5(F.col("p")).alias("ph"))
+        .distinct()
+    )
+    cnt = para.groupBy("ph").agg(F.count(F.lit(1)).alias("n_docs"))
+    per_doc = (
+        para.join(cnt, "ph")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("_np"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).alias("_ns"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("_np", F.lit(0)).alias("n_paras"),
+            F.coalesce("_ns", F.lit(0)).alias("n_shared"),
+            F.round(F.col("_ns") / F.col("_np"), 6).alias("shared_frac"),
+        )
+    )
+
+
+def oracle_paragraph_dedup_sql(table: str = "documents", text_col: str = "text") -> str:
+    return f"""
+pd_para AS (
+  SELECT DISTINCT d.doc_id, md5(trim(l.line)) AS ph
+  FROM {table} d,
+       LATERAL (SELECT unnest(string_split(d.{text_col}, chr(10))) AS line) l
+  WHERE trim(l.line) <> ''
+),
+pd_cnt AS (SELECT ph, count(*) AS n_docs FROM pd_para GROUP BY ph),
+pd_doc AS (
+  SELECT p.doc_id, count(*) AS _np,
+         sum(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS _ns
+  FROM pd_para p JOIN pd_cnt c ON c.ph = p.ph GROUP BY p.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(a._np, 0) AS BIGINT) AS n_paras,
+       CAST(coalesce(a._ns, 0) AS BIGINT) AS n_shared,
+       round(CAST(a._ns AS DOUBLE) / a._np, 6) AS shared_frac
+FROM {table} d LEFT JOIN pd_doc a ON a.doc_id = d.doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# exact global token top-k (round 4): the EXACT heavy-hitter companion to
+# the Count-Min sketch in operators/sketches.py. One hash aggregate, then
+# TakeOrderedAndProject for the global top-k (distributed partial top-k
+# per partition, k rows to the driver — never a global sort).
+# ---------------------------------------------------------------------------
+
+def token_topk(docs, k: int = 50, text_col: str = "text"):
+    """Top-k whitespace tokens by exact count, rank ties broken by token
+    text so both engines agree on the cut."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit(""))
+        ).alias("tok")
+    )
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    topk = cnt.orderBy(F.col("n").desc(), F.col("tok").asc()).limit(k)
+    # rank assignment runs over the k collected rows only — the global
+    # sort above is a TakeOrderedAndProject, not a full exchange
+    w = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
+    return topk.withColumn("rank", F.row_number().over(w))
+
+
+def oracle_token_topk_sql(
+    k: int = 50, table: str = "documents", text_col: str = "text"
+) -> str:
+    return rf"""
+tt_tok AS (
+  SELECT t.tok FROM {table} d,
+       LATERAL (SELECT unnest(regexp_split_to_array(d.{text_col}, '\s+')) AS tok) t
+  WHERE t.tok <> ''
+),
+tt_cnt AS (SELECT tok, count(*) AS n FROM tt_tok GROUP BY tok)
+SELECT tok, n, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY n DESC, tok) AS rank FROM tt_cnt
+) WHERE rank <= {k}"""

@@ -1030,3 +1030,93 @@ ct_hits AS (
 SELECT h.doc_id, h.n_hits, z.n_sh,
        round(CAST(h.n_hits AS DOUBLE) / z.n_sh, 6) AS hit_rate
 FROM ct_hits h JOIN ct_sizes z ON z.doc_id = h.doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# canonical-survivor output (round 4): the consumable end of the dedup
+# pipeline. dedup_clusters names the clusters; THIS op emits the per-doc
+# retention decision for the WHOLE corpus — the frame a curation job
+# filters on (`WHERE kept`) to produce the deduplicated training set.
+# ---------------------------------------------------------------------------
+
+def dedup_keep_canonical(
+    docs: DataFrame, k: int = 8, threshold: float = 0.5, max_df: int = 1000
+) -> DataFrame:
+    """Every doc → (doc_id, canonical_id, kept): canonical is the cluster
+    minimum for near-dup members, the doc itself otherwise; kept is true
+    exactly once per canonical id. Cost = dedup_clusters + one broadcast
+    join (the cluster frame is |clustered docs|, tiny vs the corpus)."""
+    clusters = dedup_clusters(docs, k=k, threshold=threshold, max_df=max_df)
+    canon = F.coalesce("cluster_id", F.col("doc_id"))
+    return (
+        docs.select("doc_id")
+        .join(F.broadcast(clusters.select("doc_id", "cluster_id")), "doc_id", "left")
+        .select(
+            "doc_id",
+            canon.alias("canonical_id"),
+            (canon == F.col("doc_id")).alias("kept"),
+        )
+    )
+
+
+def oracle_keep_canonical_sql(
+    k: int = 8, threshold: float = 0.5, max_df: int = 1000, table: str = "documents"
+) -> str:
+    """Clusters oracle (recursive closure) + the left-join retention
+    projection. Needs the WITH RECURSIVE prefix like dedup_clusters."""
+    inner = oracle_dedup_clusters_sql(k=k, threshold=threshold, max_df=max_df)
+    idx = inner.rfind("\nSELECT")
+    ctes, body = inner[:idx].strip().rstrip(","), inner[idx + 1 :]
+    return f"""{ctes},
+kc_cl AS ({body})
+SELECT d.doc_id,
+       CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS canonical_id,
+       coalesce(c.cluster_id, d.doc_id) = d.doc_id AS kept
+FROM {table} d LEFT JOIN kc_cl c ON c.doc_id = d.doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# sign-LSH gate corpus (round 4, VERDICT r3 #5): the driver testdata has
+# ZERO embedding pairs at cos >= 0.8, so gating the sub-quadratic 'lsh'
+# route on it directly would be vacuous. This helper plants deterministic
+# near-duplicates — each vector cloned with coordinate 0 scaled 1.5x
+# (cos ~ 0.99 at 64 dims) — with arithmetic DuckDB reproduces bit-
+# identically, so the lsh route's OUTPUT is value-hash-checked against
+# the exact all-pairs oracle on a corpus where recall actually matters.
+# ---------------------------------------------------------------------------
+
+LSH_GATE_OFFSET = 1_000_000
+
+
+def lsh_gate_corpus(embeddings: DataFrame) -> DataFrame:
+    """original ∪ perturbed clone (vec_id + LSH_GATE_OFFSET); everything
+    cast to array<double> so both engines run the same IEEE arithmetic."""
+    base = embeddings.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+    )
+    clone = embeddings.select(
+        (F.col("vec_id") + F.lit(LSH_GATE_OFFSET)).alias("vec_id"),
+        F.expr(
+            "concat(array(CAST(embedding[0] AS DOUBLE) * 1.5), "
+            "transform(slice(embedding, 2, size(embedding) - 1), "
+            "x -> CAST(x AS DOUBLE)))"
+        ).alias("embedding"),
+    )
+    return base.unionByName(clone)
+
+
+def oracle_lsh_gate_sql(threshold: float = 0.8) -> str:
+    return f"""
+lg_aug AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {LSH_GATE_OFFSET},
+         list_concat([CAST(embedding[1] AS DOUBLE) * 1.5],
+                     CAST(embedding[2:] AS DOUBLE[]))
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cos
+FROM lg_aug a JOIN lg_aug b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= {threshold}"""

@@ -140,6 +140,37 @@ ORACLE_EVENTS_CUBE = (
 )
 
 
+def event_quantiles(
+    events: DataFrame, ps: tuple[float, ...] = (0.5, 0.9, 0.99)
+) -> DataFrame:
+    """Exact per-event_type value percentiles (linear interpolation):
+    Spark's `percentile` aggregate and DuckDB's `quantile_cont` both
+    compute v[l] + (idx - l) * (v[l+1] - v[l]) at idx = p * (n - 1) over
+    the sorted values, so the exact quantile is cross-engine checkable.
+    Rounded to 6 dp: the interpolation multiply is the one place the two
+    engines may differ in the last ulp.
+
+    Scale: one hash-partial aggregate per group; exact percentile buffers
+    the group's values, which is fine for bounded per-type cardinality —
+    unbounded groups should use approx_percentile (same call shape)."""
+    aggs = [
+        F.round(F.expr(f"percentile(value, {p})"), 6).alias(f"p{str(p)[2:]}")
+        for p in ps
+    ]
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), *aggs
+    )
+
+
+def oracle_event_quantiles_sql(ps: tuple[float, ...] = (0.5, 0.9, 0.99)) -> str:
+    qs = ", ".join(
+        f"round(quantile_cont(value, {p}), 6) AS p{str(p)[2:]}" for p in ps
+    )
+    return (
+        f"SELECT event_type, count(*) AS n, {qs} FROM events GROUP BY event_type"
+    )
+
+
 def asof_join(
     events: DataFrame,
     left_type: str = "purchase",

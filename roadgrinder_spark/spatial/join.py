@@ -458,7 +458,13 @@ SELECT point_id, road_id, rank, dist2, cell FROM (
 ) WHERE rank <= {k}"""
 
 
-def oracle_geocode_match_sql(radius_m: float = 200.0) -> str:
+def oracle_geocode_match_sql(radius_m: float = 200.0, detail: bool = False) -> str:
+    """`detail=True` mirrors geocode_match(with_detail=True): the winning
+    candidate's address-range interpolation (t_addr = position of the
+    house number inside the matched range, lerped onto the segment).
+    Expression shapes match the engine exactly — long-long subtraction,
+    IEEE double division, x1 + t*(x2-x1) — so the unrounded doubles are
+    bit-identical (same discipline as the raw dist2 column)."""
     r = float(radius_m)
     side = (
         "SELECT NAME, POSTTYPE, POSTDIR, PREDIR, GLOBALID_SGID, x1, y1, x2, y2, "
@@ -488,10 +494,27 @@ gc_cand0 AS (
    AND p.addnum BETWEEN least(s.addr_from, s.addr_to)
                     AND greatest(s.addr_from, s.addr_to)
 ),
-gc_cand AS ({dist2_select_sql('gc_cand0')})
-SELECT point_id, road_gid, side FROM (
-  SELECT point_id, GLOBALID_SGID AS road_gid, side,
-         row_number() OVER (PARTITION BY point_id
-                            ORDER BY dist2, GLOBALID_SGID, side) AS rank
-  FROM gc_cand WHERE dist2 <= {r * r}
-) WHERE rank = 1"""
+gc_cand AS ({dist2_select_sql('gc_cand0')}),
+gc_best AS (
+  SELECT * FROM (
+    SELECT point_id, GLOBALID_SGID AS road_gid, side, addnum, addr_from,
+           addr_to, x1, y1, x2, y2, dist2,
+           row_number() OVER (PARTITION BY point_id
+                              ORDER BY dist2, GLOBALID_SGID, side) AS rank
+    FROM gc_cand WHERE dist2 <= {r * r}
+  ) WHERE rank = 1
+)
+{_GC_DETAIL_SELECT if detail else "SELECT point_id, road_gid, side FROM gc_best"}"""
+
+
+#: final projection for oracle_geocode_match_sql(detail=True) — t_addr
+#: computed once in a subquery so the lerp reuses the identical double
+_GC_DETAIL_SELECT = """SELECT point_id, road_gid, side, addnum, t_addr,
+       x1 + t_addr * (x2 - x1) AS match_x,
+       y1 + t_addr * (y2 - y1) AS match_y, dist2
+FROM (
+  SELECT *, CASE WHEN addr_to <> addr_from
+                 THEN (addnum - addr_from) / (addr_to - addr_from)
+                 ELSE 0.5 END AS t_addr
+  FROM gc_best
+)"""

@@ -127,3 +127,66 @@ SELECT p.objectid AS point_id, z.zone_id
 FROM addrpnts p JOIN zones z
   ON p.px > z.x_min AND p.px < z.x_max
  AND p.py > z.y_min AND p.py < z.y_max"""
+
+
+def zonal_stats(points: DataFrame, zones: DataFrame) -> DataFrame:
+    """Zonal statistics: per zone, the count / exact centroid / bounding
+    extent of the points inside it — the aggregate companion to pip_join
+    (standard GIS 'zonal stats' over a polygon layer).
+
+    Exactness without float-aggregation drift: point coordinates are
+    multiples of 6.25 m (see module docstring), so px*16 is an exact
+    integer — the centroid is accumulated as BIGINT sums (association-
+    order-free) and converted to metres once at the end. min/max are
+    order-free already. One shuffle after the broadcast PIP pass."""
+    hits = pip_join(points, zones)
+    pts = points.select(F.col("objectid").alias("point_id"), "px", "py")
+    agg = (
+        hits.join(pts, "point_id")
+        .groupBy("zone_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum((F.col("px") * 16).cast("long")).alias("_sx"),
+            F.sum((F.col("py") * 16).cast("long")).alias("_sy"),
+            F.min("px").alias("x_min_pt"),
+            F.max("px").alias("x_max_pt"),
+            F.min("py").alias("y_min_pt"),
+            F.max("py").alias("y_max_pt"),
+        )
+    )
+    return agg.join(
+        F.broadcast(zones.select("zone_id", "zone_name")), "zone_id"
+    ).select(
+        "zone_id",
+        "zone_name",
+        "n_points",
+        F.round(F.col("_sx") / 16.0 / F.col("n_points"), 6).alias("centroid_x"),
+        F.round(F.col("_sy") / 16.0 / F.col("n_points"), 6).alias("centroid_y"),
+        "x_min_pt",
+        "x_max_pt",
+        "y_min_pt",
+        "y_max_pt",
+    )
+
+
+def oracle_zonal_stats_sql() -> str:
+    return """
+zs_hits AS (
+  SELECT p.objectid AS point_id, z.zone_id, p.px, p.py
+  FROM addrpnts p JOIN zones z
+    ON p.px > z.x_min AND p.px < z.x_max
+   AND p.py > z.y_min AND p.py < z.y_max
+),
+zs_agg AS (
+  SELECT zone_id, count(*) AS n_points,
+         CAST(sum(CAST(px * 16 AS BIGINT)) AS BIGINT) AS _sx,
+         CAST(sum(CAST(py * 16 AS BIGINT)) AS BIGINT) AS _sy,
+         min(px) AS x_min_pt, max(px) AS x_max_pt,
+         min(py) AS y_min_pt, max(py) AS y_max_pt
+  FROM zs_hits GROUP BY zone_id
+)
+SELECT a.zone_id, z.zone_name, a.n_points,
+       round(_sx / 16.0 / n_points, 6) AS centroid_x,
+       round(_sy / 16.0 / n_points, 6) AS centroid_y,
+       x_min_pt, x_max_pt, y_min_pt, y_max_pt
+FROM zs_agg a JOIN zones z ON z.zone_id = a.zone_id"""
