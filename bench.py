@@ -36,6 +36,8 @@ os.environ.setdefault("SPARK_OFFHEAP_MEM", "24g")
 TARGET_SCALE_POINTS = 7_000_000
 WORK_MULT_ENV = os.environ.get("SPARK_GRAFT_WORK_MULT")
 REPEATS = int(os.environ.get("SPARK_GRAFT_REPEATS", "3"))
+#: interleaved repeats of every headline probe (min reported per entry)
+HEADLINE_ROUNDS = int(os.environ.get("SPARK_GRAFT_HEADLINE_ROUNDS", "3"))
 
 
 def _flagship(spark, sf_dir: str, mult: int = 1):
@@ -70,19 +72,14 @@ def run_suite() -> dict:
     from roadgrinder_spark import datagen
     from roadgrinder_spark.functions import text as T
     from roadgrinder_spark.operators import dedup, events, roadgrinder as rg, vectors
-    from roadgrinder_spark.spatial import join as sj
+    from roadgrinder_spark.spatial import join as sj, pip as spip, raster as sra
+    from roadgrinder_spark.streaming import gate as sgate
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     evts = spark.read.parquet(f"{SF_DIR}/events.parquet")
     embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
 
     timings: dict[str, float] = {}
-
-    def timed(name, fn):
-        t0 = time.time()
-        n = fn()
-        timings[name] = round(time.time() - t0, 3)
-        return n
 
     # materialize the derived SGID relations ONCE (timed): deployed
     # pipelines read source TABLES; re-running the synthetic derivation
@@ -98,63 +95,112 @@ def run_suite() -> dict:
     roads = spark.read.parquet(f"{mat}/roads")
     pnts = spark.read.parquet(f"{mat}/pnts")
     out = rg.explode_aliases(roads)
-
-    timed("q_geocode_roads", lambda: out.geocode_roads.count())
-    timed("q_altnames_roads", lambda: rg.altnames_roads(out.scratch, out.altnames_stage1).count())
-    timed("q_altnames_addrpnts", lambda: rg.altnames_addrpnts(pnts).count())
-    timed("q_nearest_road", lambda: sj.knn_join(pnts, roads, k=1).count())
     n_pnts = pnts.count()
+
+    # ---- headline probes: INTERLEAVED min-of-N (VERDICT r3 #3) ----------
+    # The box shows episodic multi-second external CPU steal (±30%
+    # wall-clock between same-day runs); back-to-back repeats of one probe
+    # all land inside the same steal phase, so repeats are interleaved
+    # across the whole suite and each entry reports its minimum — the same
+    # discipline the scaling section has used since round 2. Graded r3
+    # printed four +13…+39% "regressions" a same-day rerun contradicted;
+    # min-of-N interleaved makes one steal spike unable to print one.
+    probes: list[tuple[str, object, int]] = []
+
+    def probe(name, fn, rounds=HEADLINE_ROUNDS):
+        probes.append((name, fn, rounds))
+
+    state: dict[str, int] = {}
+
     # flagship metric = the strkey signature join: with parquet-backed
     # inputs (round-2 suite layout) it measures FASTER than the hash-keyed
-    # variant (2.1-2.7 s vs 3.2-3.4 s interleaved at sf0.1) — the round-1
-    # 27% hashkey advantage only held when the datagen CTEs ran inline.
-    # strkey is also the bit-exact oracle-parity path. Both stay timed.
-    hashkey_sec = float("inf")
-    for _ in range(2):
-        t0 = time.time()
-        n_matched = sj.geocode_match(pnts, out.geocode_roads, hash_keys=True).count()
-        hashkey_sec = min(hashkey_sec, time.time() - t0)
-    timings["q_geocode_match_hashkey"] = round(hashkey_sec, 3)
-    flag_sec = float("inf")
-    for _ in range(2):  # min-of-2: absorb one-off JIT/GC noise
-        t0 = time.time()
-        n_matched = sj.geocode_match(pnts, out.geocode_roads).count()
-        flag_sec = min(flag_sec, time.time() - t0)
-    timings["q_geocode_match"] = round(flag_sec, 3)
-    timed("q_dedup_text", lambda: dedup.dedup_exact(docs).count()
+    # variant — strkey is also the bit-exact oracle-parity path.
+    def _flag_run():
+        state["n_matched"] = sj.geocode_match(pnts, out.geocode_roads).count()
+
+    probe("q_geocode_match", _flag_run)
+    probe("q_geocode_match_hashkey",
+          lambda: sj.geocode_match(pnts, out.geocode_roads, hash_keys=True).count())
+    probe("q_geocode_roads", lambda: out.geocode_roads.count())
+    probe("q_altnames_roads",
+          lambda: rg.altnames_roads(out.scratch, out.altnames_stage1).count())
+    probe("q_altnames_addrpnts", lambda: rg.altnames_addrpnts(pnts).count())
+    probe("q_nearest_road", lambda: sj.knn_join(pnts, roads, k=1).count())
+    probe("q_dedup_text", lambda: dedup.dedup_exact(docs).count()
           + docs.select(T.token_count(F.col("text"))).count())
-    timed("q_ngram_jaccard", lambda: dedup.ngram_jaccard_pairs(docs, threshold=0.25, max_df=100).count())
-    timed("q_dedup_clusters", lambda: dedup.dedup_clusters(docs, threshold=0.25, max_df=100).count())
-    timed("q_minhash_lsh", lambda: dedup.minhash_lsh_pairs(docs, threshold=0.3).count())
-    timed("q_dedup_embedding", lambda: dedup.embedding_near_dups(embs).count())
-    timed("q_hourly_rollup", lambda: events.hourly_rollup(evts).count())
-    # round-3 curation operators
+    probe("q_ngram_jaccard",
+          lambda: dedup.ngram_jaccard_pairs(docs, threshold=0.25, max_df=100).count())
+    probe("q_dedup_clusters",
+          lambda: dedup.dedup_clusters(docs, threshold=0.25, max_df=100).count())
+    probe("q_minhash_lsh", lambda: dedup.minhash_lsh_pairs(docs, threshold=0.3).count())
+    probe("q_dedup_embedding", lambda: dedup.embedding_near_dups(embs).count())
+    probe("q_hourly_rollup", lambda: events.hourly_rollup(evts).count())
+
     from roadgrinder_spark.operators import sampling, sketches
 
     # aggregate a COMPUTED column in each probe — a bare count() lets
     # Catalyst prune the projection and times an empty scan
-    timed("q_pii_redact", lambda: T.pii_redact(docs).agg(
+    probe("q_pii_redact", lambda: T.pii_redact(docs).agg(
         F.sum(F.length("text_redacted")), F.sum("n_emails")).collect())
-    timed("q_text_embed", lambda: T.hashed_ngram_embedding(docs).agg(
+    probe("q_text_embed", lambda: T.hashed_ngram_embedding(docs).agg(
         F.sum(F.expr("aggregate(embedding, 0L, (a, x) -> a + x)"))).collect())
-    timed("q_contamination", lambda: dedup.contamination_check(
+    probe("q_contamination", lambda: dedup.contamination_check(
         docs, docs.filter(F.col("doc_id") % 97 == 0)).agg(
         F.sum("n_hits")).collect())
-    timed("q_mixture_resample", lambda: sampling.mixture_resample(
+    probe("q_mixture_resample", lambda: sampling.mixture_resample(
         docs.select("doc_id", "source"), "source",
         {"src0": 0.02, "src1": 0.002, "src2": 0.05}).count())
-    timed("q_kmv_distinct", lambda: sketches.kmv_distinct(docs, "text", k=256).collect())
-    timed("q_asof_join", lambda: events.asof_join(evts).agg(
+    probe("q_kmv_distinct", lambda: sketches.kmv_distinct(docs, "text", k=256).collect())
+    probe("q_asof_join", lambda: events.asof_join(evts).agg(
         F.sum("lag_us")).collect())
+
+    # round-4 operators (events family timed per VERDICT r3 #7; spatial
+    # focal/zonal ops; cross-doc text curation)
+    probe("q_sessionize", lambda: events.sessionize(evts).agg(
+        F.sum("n_events"), F.max("ended")).collect())
+    probe("q_events_cube", lambda: events.events_cube(evts).agg(
+        F.sum("n"), F.sum("sum_value")).collect())
+    probe("q_event_quantiles", lambda: events.event_quantiles(evts).agg(
+        F.sum("p99")).collect())
+    probe("q_paragraph_dedup", lambda: T.paragraph_dedup(docs).agg(
+        F.sum("n_shared"), F.sum("n_paras")).collect())
+    probe("q_token_topk", lambda: T.token_topk(docs, k=50).agg(
+        F.sum("n")).collect())
+    probe("q_raster_neighborhood", lambda: sra.raster_neighborhood(
+        sra.rasterize_points(pnts)).agg(F.sum("n")).collect())
+    probe("q_zonal_stats", lambda: spip.zonal_stats(
+        pnts, spip.derive_zones(spark, SF_DIR)).agg(
+        F.sum("n_points"), F.sum("centroid_x")).collect())
+    # streaming path timed end-to-end (VERDICT r3 #6): full availableNow
+    # drain incl. staging + checkpoint + per-batch joins. min-of-2: each
+    # run pays real stream-setup latency, keep suite wall-clock bounded.
+    probe("q_stream_geocode",
+          lambda: sgate.drained_geocode_match(spark, SF_DIR).count(), rounds=2)
+
     # timed brute-force run doubles as the recall baseline (collect once,
     # don't pay the O(N²) kernel twice)
     bf_rows: list = []
 
     def _bf_run():
-        bf_rows.extend(vectors.brute_force_topk(embs).collect())
-        return len(bf_rows)
+        rows = vectors.brute_force_topk(embs).collect()
+        if not bf_rows:
+            bf_rows.extend(rows)
+        return len(rows)
 
-    timed("q_ann_brute", _bf_run)
+    probe("q_ann_brute", _bf_run)
+
+    for rnd in range(max(r for _, _, r in probes)):
+        for name, fn, rr in probes:
+            if rnd >= rr:
+                continue
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            if dt < timings.get(name, float("inf")):
+                timings[name] = dt
+    timings = {k: round(v, 3) for k, v in timings.items()}
+    n_matched = state["n_matched"]
+    flag_sec = timings["q_geocode_match"]
     # approximate-op quality, re-measured every run so recall regressions
     # are visible round-over-round (VERDICT r2 #10)
     bf = {(r["query_id"], r["neighbor_id"]) for r in bf_rows}
