@@ -17,9 +17,16 @@ Curation jobs over a documents parquet (--documents or the sf-dir
 documents table), each writing parquet under --output and printing a
 one-line JSON row-count summary:
   --job dedup_clusters   near-dup clusters (keep-one-per-cluster)
+  --job keep_canonical   per-doc retention decision (the deduped corpus)
   --job hash_split       deterministic train/val/test assignment
   --job pii_redact       email/SSN/IP/phone scrubbing
   --job quality          token/lang/quality + repetition signals
+  --job paragraph_dedup  cross-doc shared-paragraph fractions
+  --job token_topk       exact global heavy-hitter tokens
+  --job zonal_stats      per-zone point count/centroid/extent (spatial;
+                         reads the sf-dir tables, not --documents)
+  --job curate           full curation funnel (quality → language →
+                         dedup → redact → split) + per-stage yield report
 """
 
 from __future__ import annotations
@@ -46,8 +53,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--master", default=None,
                    help="override master (default: SPARK_GRAFT_CPUS local)")
     p.add_argument("--job", default="pipeline",
-                   choices=["pipeline", "dedup_clusters", "hash_split",
-                            "pii_redact", "quality"])
+                   choices=["pipeline", "dedup_clusters", "keep_canonical",
+                            "hash_split", "pii_redact", "quality",
+                            "paragraph_dedup", "token_topk", "zonal_stats",
+                            "curate"])
     args = p.parse_args(argv)
 
     from .plans.pipeline import GrinderConfig, RoadGrinderPipeline
@@ -98,10 +107,41 @@ def _run_curation_job(spark, args) -> int:
 
     src = args.documents or f"{args.sf_dir}/documents.parquet"
     docs = spark.read.parquet(src)
+    if args.job == "curate":
+        from .operators.curate import curate_corpus
+
+        res = curate_corpus(docs)
+        dest = f"{args.output}/curate"
+        res.corpus.write.mode("overwrite").parquet(f"{dest}/corpus")
+        res.funnel.write.mode("overwrite").parquet(f"{dest}/funnel")
+        n = spark.read.parquet(f"{dest}/corpus").count()
+        print(json.dumps({"run_id": args.run_id, "job": "curate",
+                          "output": dest, "rows": n,
+                          "metrics": res.metrics}))
+        return 0
     if args.job == "dedup_clusters":
         from .operators.dedup import dedup_clusters
 
         out = dedup_clusters(docs, threshold=0.5, max_df=1000)
+    elif args.job == "keep_canonical":
+        from .operators.dedup import dedup_keep_canonical
+
+        out = dedup_keep_canonical(docs, threshold=0.5, max_df=1000)
+    elif args.job == "paragraph_dedup":
+        from .functions.text import paragraph_dedup
+
+        out = paragraph_dedup(docs)
+    elif args.job == "token_topk":
+        from .functions.text import token_topk
+
+        out = token_topk(docs, k=100)
+    elif args.job == "zonal_stats":
+        from .datagen import derive_addrpnts
+        from .spatial.pip import derive_zones, zonal_stats
+
+        out = zonal_stats(
+            derive_addrpnts(spark, args.sf_dir), derive_zones(spark, args.sf_dir)
+        )
     elif args.job == "hash_split":
         from .operators.sampling import hash_split
 

@@ -1,0 +1,100 @@
+"""End-to-end corpus curation funnel — the composed pipeline a training-
+data team actually runs, built entirely from the individually
+oracle-checked operators:
+
+  input → quality gate (token count + quality score) → language gate →
+  near-dup removal (keep-canonical) → PII redaction → split assignment
+
+Each stage is a pure DataFrame transform; the funnel report records rows
+in/out per stage (the curation yield dashboard). Every underlying
+operator has its own DuckDB-oracle gate entry; this module is their
+composition and is pytest-verified stage-by-stage (tests/test_curate.py)
+rather than re-oracled as a monolith.
+
+Scale: the filters are JVM column arithmetic (no shuffle); dedup is the
+dominant cost (see operators/dedup.py scale notes); redaction and split
+are narrow maps. The funnel therefore inherits the dedup scale path and
+adds nothing quadratic.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from .dedup import dedup_keep_canonical
+from .sampling import hash_split
+
+
+@dataclass
+class CurateConfig:
+    min_tokens: int = 5
+    min_quality: float = 0.2
+    langs: tuple[str, ...] = ()          # empty = keep all languages
+    dedup_threshold: float = 0.5
+    dedup_max_df: int = 1000
+    splits: dict[str, float] = field(
+        default_factory=lambda: {"train": 0.98, "val": 0.01, "test": 0.01}
+    )
+
+
+@dataclass
+class CurateResult:
+    corpus: DataFrame            # doc_id, text_redacted, lang_pred, split
+    funnel: DataFrame            # stage, stage_idx, rows
+    metrics: dict
+
+
+def curate_corpus(docs: DataFrame, cfg: CurateConfig | None = None) -> CurateResult:
+    """Run the full funnel. Counts are taken per stage (one action each);
+    the surviving corpus is returned as a lazy frame over the final plan."""
+    cfg = cfg or CurateConfig()
+    spark = docs.sparkSession
+    stages: list[tuple[str, int]] = [("input", docs.count())]
+
+    scored = docs.withColumn("n_tokens", T.token_count(F.col("text"))).withColumn(
+        "quality", T.quality_score(F.col("text"))
+    )
+    q = scored.filter(
+        (F.col("n_tokens") >= cfg.min_tokens)
+        & (F.col("quality") >= cfg.min_quality)
+    )
+    stages.append(("quality", q.count()))
+
+    lp = q.withColumn("lang_pred", T.lang_id(F.col("text")))
+    if cfg.langs:
+        lp = lp.filter(F.col("lang_pred").isin(*cfg.langs))
+    stages.append(("language", lp.count()))
+
+    # near-dup removal over the SURVIVING docs (dedup after cheap filters:
+    # the quadratic-candidate stage sees the smallest possible corpus)
+    keep = dedup_keep_canonical(
+        lp, threshold=cfg.dedup_threshold, max_df=cfg.dedup_max_df
+    ).filter(F.col("kept"))
+    dd = lp.join(keep.select("doc_id"), "doc_id")
+    stages.append(("dedup", dd.count()))
+
+    red = T.pii_redact(dd)
+    out = (
+        hash_split(red.select("doc_id"), weights=cfg.splits)
+        .join(red, "doc_id")
+        .join(lp.select("doc_id", "lang_pred"), "doc_id")
+        .select("doc_id", "text_redacted", "lang_pred", "split")
+    )
+    stages.append(("redact_split", out.count()))
+
+    funnel = spark.createDataFrame(
+        [(name, i, int(n)) for i, (name, n) in enumerate(stages)],
+        "stage string, stage_idx int, rows long",
+    )
+    n_in, n_out = stages[0][1], stages[-1][1]
+    metrics = {
+        "rows_in": n_in,
+        "rows_out": n_out,
+        "yield": round(n_out / n_in, 6) if n_in else None,
+        "stages": {name: int(n) for name, n in stages},
+    }
+    return CurateResult(corpus=out, funnel=funnel, metrics=metrics)

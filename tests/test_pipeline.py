@@ -140,6 +140,10 @@ def test_cli_curation_jobs(spark, tmp_path):
         ("hash_split", lambda df: set(df.columns) >= {"doc_id", "split"}),
         ("pii_redact", lambda df: "text_redacted" in df.columns),
         ("dedup_clusters", lambda df: "is_keeper" in df.columns),
+        ("keep_canonical", lambda df: {"canonical_id", "kept"} <= set(df.columns)),
+        ("paragraph_dedup", lambda df: "shared_frac" in df.columns),
+        ("token_topk", lambda df: {"tok", "n", "rank"} <= set(df.columns)),
+        ("zonal_stats", lambda df: {"zone_id", "centroid_x"} <= set(df.columns)),
     ):
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
