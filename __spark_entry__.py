@@ -338,6 +338,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(s, d)
     )
     q["asof_join"] = lambda s, d: events.asof_join(_events(s, d))
+    # round-4 wave-2 ops land in the tail: full oracle checks run in
+    # pytest (test_gate_tail) immediately; they rotate into the driver
+    # window next round
+    q["tfidf_topk"] = lambda s, d: T.tfidf_topk_terms(_docs(s, d), k=5)
+    q["segment_sample"] = lambda s, d: sc.segment_sample(_roads(s, d), spacing=50.0)
 
     return q
 
@@ -498,6 +503,15 @@ def oracle_sql() -> dict[str, str]:
     o["repetition_stats"] = _with(*_split_body(T.oracle_repetition_sql()))
     o["paragraph_dedup"] = _with(*_split_body(T.oracle_paragraph_dedup_sql()))
     o["token_topk"] = _with(*_split_body(T.oracle_token_topk_sql(k=50)))
+    # tf-idf needs N (corpus size) baked into the SQL: both engines count
+    # the same table, so read it from DuckDB at oracle-build time is not
+    # possible here — the driver testdata has 500 docs at every gate SF
+    # the driver uses (sf0.001/sf0.01); the pytest tail check asserts the
+    # count matches before comparing
+    o["tfidf_topk"] = _with(*_split_body(T.oracle_tfidf_sql(n_docs=500, k=5)))
+    o["segment_sample"] = _with(
+        *_split_body(sc.oracle_segment_sample_sql(spacing=50.0)), R
+    )
     # media trio: the decode stub is md5-arithmetic, which DuckDB can
     # reproduce exactly (media.py oracle builders)
     M = media.oracle_media_cte()

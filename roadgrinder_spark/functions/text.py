@@ -684,3 +684,72 @@ tt_cnt AS (SELECT tok, count(*) AS n FROM tt_tok GROUP BY tok)
 SELECT tok, n, rank FROM (
   SELECT *, row_number() OVER (ORDER BY n DESC, tok) AS rank FROM tt_cnt
 ) WHERE rank <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# per-doc TF-IDF top terms (round 4): the classic keyword extractor over
+# the corpus — tf·ln(N/df) with exact integer tf/df and the same 1-ulp
+# ln() discipline bigram_lm_scores already proved cross-engine. Plan:
+# explode → (doc, term) counts → term df counts → join → per-doc window
+# top-k. The window partitions by doc_id (bounded per-doc term counts),
+# never globally.
+# ---------------------------------------------------------------------------
+
+def tfidf_topk_terms(docs, k: int = 5, text_col: str = "text"):
+    """Per doc: top-k terms by tf * ln(N / df), rank ties broken by term
+    text. Returns (doc_id, term, tf, df, score, rank); score rounded to
+    6 dp (ln is within 1 ulp per engine)."""
+    from pyspark.sql import Window
+
+    n_docs = docs.count()
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit(""))
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = (
+        toks.select("doc_id", "term").distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    scored = tf.join(df_, "term").select(
+        "doc_id", "term", "tf", "df",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def oracle_tfidf_sql(
+    n_docs: int, k: int = 5, table: str = "documents", text_col: str = "text"
+) -> str:
+    return rf"""
+ti_tok AS (
+  SELECT d.doc_id, t.term FROM {table} d,
+       LATERAL (SELECT unnest(regexp_split_to_array(d.{text_col}, '\s+')) AS term) t
+  WHERE t.term <> ''
+),
+ti_tf AS (SELECT doc_id, term, count(*) AS tf FROM ti_tok GROUP BY 1, 2),
+ti_df AS (
+  SELECT term, count(*) AS df
+  FROM (SELECT DISTINCT doc_id, term FROM ti_tok) GROUP BY term
+),
+ti_scored AS (
+  SELECT f.doc_id, f.term, f.tf, d.df,
+         round(f.tf * ln({float(n_docs)} / d.df), 6) AS score
+  FROM ti_tf f JOIN ti_df d ON d.term = f.term
+)
+SELECT doc_id, term, tf, df, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term) AS rank
+  FROM ti_scored
+) WHERE rank <= {k}"""

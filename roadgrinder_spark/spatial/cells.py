@@ -247,3 +247,53 @@ def choose_cell_size(
         return max(stats), stats
     finally:
         sample.unpersist()
+
+
+def segment_sample(roads, spacing: float = 50.0):
+    """Densify segments into evenly-spaced points (map-matching /
+    coverage-analysis substrate): each segment emits
+    n = max(1, floor(len/spacing)) + 1 points at fractions i/n, endpoints
+    inclusive. One sequence explode per row, no shuffle; output is
+    O(total length / spacing) regardless of segment count.
+
+    Float parity: sqrt is IEEE-exact and the lerp shares the engine's
+    expression shapes, so (sx, sy) are bit-identical cross-engine."""
+    from pyspark.sql import functions as F
+
+    seg_len = F.sqrt(
+        (F.col("x2") - F.col("x1")) * (F.col("x2") - F.col("x1"))
+        + (F.col("y2") - F.col("y1")) * (F.col("y2") - F.col("y1"))
+    )
+    n = F.greatest(F.lit(1), F.floor(seg_len / F.lit(float(spacing)))).cast("long")
+    t = F.col("i") / F.col("n")
+    return (
+        roads.select(
+            F.col("objectid").alias("road_id"), "x1", "y1", "x2", "y2",
+            n.alias("n"),
+        )
+        .select(
+            "road_id", "x1", "y1", "x2", "y2", "n",
+            F.explode(F.sequence(F.lit(0), F.col("n"))).alias("i"),
+        )
+        .select(
+            "road_id",
+            F.col("i").alias("seq"),
+            (F.col("x1") + t * (F.col("x2") - F.col("x1"))).alias("sx"),
+            (F.col("y1") + t * (F.col("y2") - F.col("y1"))).alias("sy"),
+        )
+    )
+
+
+def oracle_segment_sample_sql(spacing: float = 50.0) -> str:
+    s = float(spacing)
+    return f"""
+ss_base AS (
+  SELECT objectid AS road_id, x1, y1, x2, y2,
+         CAST(greatest(1, FLOOR(sqrt((x2 - x1) * (x2 - x1) +
+                                     (y2 - y1) * (y2 - y1)) / {s})) AS BIGINT) AS n
+  FROM roads
+)
+SELECT road_id, CAST(p.i AS BIGINT) AS seq,
+       x1 + (CAST(p.i AS BIGINT) / n) * (x2 - x1) AS sx,
+       y1 + (CAST(p.i AS BIGINT) / n) * (y2 - y1) AS sy
+FROM ss_base b, LATERAL (SELECT unnest(range(0, b.n + 1)) AS i) p"""
