@@ -343,6 +343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window next round
     q["tfidf_topk"] = lambda s, d: T.tfidf_topk_terms(_docs(s, d), k=5)
     q["segment_sample"] = lambda s, d: sc.segment_sample(_roads(s, d), spacing=50.0)
+    q["span_stats"] = lambda s, d: spans.span_stats(_packed(s, d))
 
     return q
 
@@ -511,6 +512,9 @@ def oracle_sql() -> dict[str, str]:
     o["tfidf_topk"] = _with(*_split_body(T.oracle_tfidf_sql(n_docs=500, k=5)))
     o["segment_sample"] = _with(
         *_split_body(sc.oracle_segment_sample_sql(spacing=50.0)), R
+    )
+    o["span_stats"] = _with(
+        *_split_body(spans.oracle_span_stats_sql()), R, P
     )
     # media trio: the decode stub is md5-arithmetic, which DuckDB can
     # reproduce exactly (media.py oracle builders)

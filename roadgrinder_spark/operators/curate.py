@@ -98,3 +98,100 @@ def curate_corpus(docs: DataFrame, cfg: CurateConfig | None = None) -> CurateRes
         "stages": {name: int(n) for name, n in stages},
     }
     return CurateResult(corpus=out, funnel=funnel, metrics=metrics)
+
+
+def curate_corpus_resumable(
+    docs: DataFrame, output_dir: str, cfg: CurateConfig | None = None
+) -> CurateResult:
+    """Checkpoint-resumable form of the funnel (north rule: "every stage
+    checkpoint-resumable with per-partition lineage + metrics"): each
+    stage materializes to parquet under `output_dir`/stages with a
+    fingerprint covering the config AND the input plan digest, via the
+    same CheckpointManager the grinder pipeline uses. A re-run with an
+    unchanged (input, config) recomputes NOTHING — stages read back from
+    parquet; a changed config or input invalidates every stage."""
+    import hashlib
+    import json
+    import os
+
+    from ..plans.pipeline import CheckpointManager, _input_digest
+
+    cfg = cfg or CurateConfig()
+    spark = docs.sparkSession
+    ck = CheckpointManager(spark, os.path.join(output_dir, "stages"))
+    inp = _input_digest(docs)
+
+    def fp(stage: str) -> str:
+        payload = json.dumps(
+            {
+                "stage": stage,
+                "min_tokens": cfg.min_tokens,
+                "min_quality": cfg.min_quality,
+                "langs": list(cfg.langs),
+                "thr": cfg.dedup_threshold,
+                "max_df": cfg.dedup_max_df,
+                "splits": cfg.splits,
+                "inp": inp,
+            },
+            sort_keys=True,
+        )
+        return hashlib.md5(payload.encode()).hexdigest()[:16]
+
+    def _filtered() -> DataFrame:
+        lp = (
+            docs.withColumn("n_tokens", T.token_count(F.col("text")))
+            .withColumn("quality", T.quality_score(F.col("text")))
+            .filter(
+                (F.col("n_tokens") >= cfg.min_tokens)
+                & (F.col("quality") >= cfg.min_quality)
+            )
+            .withColumn("lang_pred", T.lang_id(F.col("text")))
+        )
+        if cfg.langs:
+            lp = lp.filter(F.col("lang_pred").isin(*cfg.langs))
+        return lp
+
+    filtered = ck.stage("curate_filtered", fp("filtered"), _filtered)
+    keep = ck.stage(
+        "curate_keep",
+        fp("keep"),
+        lambda: dedup_keep_canonical(
+            filtered, threshold=cfg.dedup_threshold, max_df=cfg.dedup_max_df
+        ).filter(F.col("kept")),
+    )
+
+    def _corpus() -> DataFrame:
+        dd = filtered.join(keep.select("doc_id"), "doc_id")
+        red = T.pii_redact(dd)
+        return (
+            hash_split(red.select("doc_id"), weights=cfg.splits)
+            .join(red, "doc_id")
+            .join(dd.select("doc_id", "lang_pred"), "doc_id")
+            .select("doc_id", "text_redacted", "lang_pred", "split")
+        )
+
+    corpus = ck.stage("curate_corpus", fp("corpus"), _corpus)
+
+    n_in = docs.count()
+    manifest = ck._manifest()
+    stages = [
+        ("input", n_in),
+        ("filtered", manifest["curate_filtered"]["rows"]),
+        ("dedup", manifest["curate_keep"]["rows"]),
+        ("corpus", manifest["curate_corpus"]["rows"]),
+    ]
+    funnel = spark.createDataFrame(
+        [(name, i, int(n)) for i, (name, n) in enumerate(stages)],
+        "stage string, stage_idx int, rows long",
+    )
+    n_out = stages[-1][1]
+    return CurateResult(
+        corpus=corpus,
+        funnel=funnel,
+        metrics={
+            "rows_in": n_in,
+            "rows_out": int(n_out),
+            "yield": round(n_out / n_in, 6) if n_in else None,
+            "stages": {name: int(n) for name, n in stages},
+        },
+    )

@@ -134,3 +134,46 @@ def unpack_roads(docs: DataFrame) -> DataFrame:
 
 def unpack_addrpnts(docs: DataFrame) -> DataFrame:
     return _unpack(docs, "addrpnt", _ADDRPNTS_PAYLOAD)
+
+
+def span_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc statistics of the interleaved span sequence — the
+    substrate-level audit: span counts by kind, media payload mass, and
+    the span-sequence ordering invariant (offsets strictly increasing —
+    the per-row invariant BASELINE.json's input_hint names) evaluated
+    engine-side per document. Pure JVM array functions, no shuffle."""
+    offs = F.expr("transform(spans, s -> s.offset)")
+    return docs.select(
+        "doc_id",
+        F.size("spans").alias("n_spans"),
+        F.size(F.expr("filter(spans, s -> s.kind = 'media')")).alias("n_media"),
+        F.size(F.expr("filter(spans, s -> s.kind <> 'media')")).alias("n_attr"),
+        F.expr(
+            "CAST(aggregate(spans, 0L, (a, s) -> a + length(s.media_ref)) AS BIGINT)"
+        ).alias("media_chars"),
+        (offs == F.array_sort(F.array_distinct(offs))).alias("offsets_increasing"),
+    )
+
+
+def oracle_span_stats_sql(group_size: int = 16) -> str:
+    """Reconstructs the per-doc counts from the source relations (the
+    pack emits exactly one attr + one media span per record, and the
+    media_ref strings are the same WKT the media oracle rebuilds).
+    offsets_increasing is asserted TRUE — if the engine's pack ever
+    breaks span ordering, its computed bool diverges and the row fails.
+    Requires the roads/addrpnts CTEs in scope."""
+    return f"""
+sp_docs AS (
+  SELECT 'road-' || CAST(CAST(FLOOR(objectid / {group_size}) AS BIGINT) AS STRING) AS doc_id,
+         count(*) AS n_rec,
+         CAST(sum(length(geometry)) AS BIGINT) AS media_chars
+  FROM roads GROUP BY 1
+  UNION ALL
+  SELECT 'addrpnt-' || CAST(CAST(FLOOR(objectid / {group_size}) AS BIGINT) AS STRING) AS doc_id,
+         count(*) AS n_rec,
+         CAST(sum(length('POINT (' || CAST(px AS STRING) || ' ' || CAST(py AS STRING) || ')')) AS BIGINT) AS media_chars
+  FROM addrpnts GROUP BY 1
+)
+SELECT doc_id, n_rec * 2 AS n_spans, n_rec AS n_media, n_rec AS n_attr,
+       media_chars, TRUE AS offsets_increasing
+FROM sp_docs"""
