@@ -344,6 +344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tfidf_topk"] = lambda s, d: T.tfidf_topk_terms(_docs(s, d), k=5)
     q["segment_sample"] = lambda s, d: sc.segment_sample(_roads(s, d), spacing=50.0)
     q["span_stats"] = lambda s, d: spans.span_stats(_packed(s, d))
+    q["hex_rasterize"] = lambda s, d: sc.hex_rasterize(_pnts(s, d))
 
     return q
 
@@ -515,6 +516,9 @@ def oracle_sql() -> dict[str, str]:
     )
     o["span_stats"] = _with(
         *_split_body(spans.oracle_span_stats_sql()), R, P
+    )
+    o["hex_rasterize"] = _with(
+        *_split_body(sc.oracle_hex_rasterize_sql()), P
     )
     # media trio: the decode stub is md5-arithmetic, which DuckDB can
     # reproduce exactly (media.py oracle builders)

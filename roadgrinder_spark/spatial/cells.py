@@ -297,3 +297,78 @@ SELECT road_id, CAST(p.i AS BIGINT) AS seq,
        x1 + (CAST(p.i AS BIGINT) / n) * (x2 - x1) AS sx,
        y1 + (CAST(p.i AS BIGINT) / n) * (y2 - y1) AS sy
 FROM ss_base b, LATERAL (SELECT unnest(range(0, b.n + 1)) AS i) p"""
+
+
+# ---------------------------------------------------------------------------
+# hexagonal cell index (round 4): an H3-style pointy-top hex binning —
+# axial coordinates via the standard cube-rounding algorithm, pure column
+# arithmetic (both engines run the identical IEEE expression shapes, so
+# assignments are bit-identical). Hexagons give ~13% tighter worst-case
+# cell radius than squares of equal area and uniform 6-neighbor
+# adjacency — the reason H3 exists. The square grid stays the default
+# join index (range cover over rectangles is simpler); the hex index
+# serves density rollups / heatmaps.
+# ---------------------------------------------------------------------------
+
+_SQRT3_OVER_3 = "(sqrt(3.0) / 3.0)"
+
+
+def _hex_qr_exprs(px: str, py: str, size: float) -> tuple[str, str]:
+    """SQL expression strings for the axial (q, r) hex coordinates —
+    used VERBATIM by both the Spark column builder (via F.expr) and the
+    DuckDB oracle, so cross-engine parity is by construction.
+
+    floor(x + 0.5) is the explicit round-half-up both engines share
+    (their native round() functions disagree on halves)."""
+    s = float(size)
+    qf = f"({_SQRT3_OVER_3} * {px} - ({py}) / 3.0) / {s}"
+    rf = f"((2.0 * ({py})) / 3.0) / {s}"
+    xf, zf = qf, rf
+    yf = f"(-({qf}) - ({rf}))"
+    rx = f"FLOOR({xf} + 0.5)"
+    ry = f"FLOOR({yf} + 0.5)"
+    rz = f"FLOOR({zf} + 0.5)"
+    dx = f"abs({rx} - ({xf}))"
+    dy = f"abs({ry} - ({yf}))"
+    dz = f"abs({rz} - ({zf}))"
+    q = (
+        f"CAST(CASE WHEN {dx} > {dy} AND {dx} > {dz} "
+        f"THEN -({ry}) - ({rz}) ELSE {rx} END AS BIGINT)"
+    )
+    r = (
+        f"CAST(CASE WHEN NOT ({dx} > {dy} AND {dx} > {dz}) "
+        f"AND {dz} > {dy} THEN -({rx}) - ({ry}) ELSE {rz} END AS BIGINT)"
+    )
+    return q, r
+
+
+def hex_cell_cols(px, py, size: float = DEFAULT_CELL_SIZE):
+    """(q, r) axial hex-cell Columns for point coordinates."""
+    from pyspark.sql import functions as F
+
+    qs, rs = _hex_qr_exprs(str(px), str(py), size)
+    return F.expr(qs), F.expr(rs)
+
+
+def hex_rasterize(points, size: float = DEFAULT_CELL_SIZE):
+    """Hexagonal density raster: (hq, hr, cell, n) — one hash aggregate,
+    the hex analogue of rasterize_points."""
+    from pyspark.sql import functions as F
+
+    q, r = hex_cell_cols("px", "py", size)
+    return (
+        points.select(q.alias("hq"), r.alias("hr"))
+        .groupBy("hq", "hr")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            pack_cell(F.col("hq"), F.col("hr")).alias("cell"), "hq", "hr", "n"
+        )
+    )
+
+
+def oracle_hex_rasterize_sql(size: float = DEFAULT_CELL_SIZE) -> str:
+    q, r = _hex_qr_exprs("px", "py", size)
+    return f"""
+hx AS (SELECT {q} AS hq, {r} AS hr FROM addrpnts)
+SELECT hq * {PACK} + hr + {CY_BIAS} AS cell, hq, hr, count(*) AS n
+FROM hx GROUP BY hq, hr"""

