@@ -346,6 +346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["segment_sample"] = lambda s, d: sc.segment_sample(_roads(s, d), spacing=50.0)
     q["span_stats"] = lambda s, d: spans.span_stats(_packed(s, d))
     q["hex_rasterize"] = lambda s, d: sc.hex_rasterize(_pnts(s, d))
+    q["sampled_quantiles"] = lambda s, d: sketches.sampled_quantiles(_events(s, d))
 
     return q
 
@@ -506,12 +507,9 @@ def oracle_sql() -> dict[str, str]:
     o["repetition_stats"] = _with(*_split_body(T.oracle_repetition_sql()))
     o["paragraph_dedup"] = _with(*_split_body(T.oracle_paragraph_dedup_sql()))
     o["token_topk"] = _with(*_split_body(T.oracle_token_topk_sql(k=50)))
-    # tf-idf needs N (corpus size) baked into the SQL: both engines count
-    # the same table, so read it from DuckDB at oracle-build time is not
-    # possible here — the driver testdata has 500 docs at every gate SF
-    # the driver uses (sf0.001/sf0.01); the pytest tail check asserts the
-    # count matches before comparing
-    o["tfidf_topk"] = _with(*_split_body(T.oracle_tfidf_sql(n_docs=500, k=5)))
+    # tf-idf's N (corpus size) is a scalar subquery in the oracle SQL, so
+    # the entry is correct at any sf the gate runs
+    o["tfidf_topk"] = _with(*_split_body(T.oracle_tfidf_sql(k=5)))
     o["segment_sample"] = _with(
         *_split_body(sc.oracle_segment_sample_sql(spacing=50.0)), R
     )
@@ -521,6 +519,7 @@ def oracle_sql() -> dict[str, str]:
     o["hex_rasterize"] = _with(
         *_split_body(sc.oracle_hex_rasterize_sql()), P
     )
+    o["sampled_quantiles"] = sketches.oracle_sampled_quantiles_sql()
     # media trio: the decode stub is md5-arithmetic, which DuckDB can
     # reproduce exactly (media.py oracle builders)
     M = media.oracle_media_cte()

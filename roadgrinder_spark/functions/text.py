@@ -730,8 +730,14 @@ def tfidf_topk_terms(docs, k: int = 5, text_col: str = "text"):
 
 
 def oracle_tfidf_sql(
-    n_docs: int, k: int = 5, table: str = "documents", text_col: str = "text"
+    n_docs: int | None = None,
+    k: int = 5,
+    table: str = "documents",
+    text_col: str = "text",
 ) -> str:
+    """n_docs=None emits a scalar-subquery corpus count, so the oracle is
+    correct at ANY sf the gate runs (the subquery's BIGINT → DOUBLE cast
+    equals the engine's float(docs.count()) literal exactly)."""
     return rf"""
 ti_tok AS (
   SELECT d.doc_id, t.term FROM {table} d,
@@ -745,7 +751,8 @@ ti_df AS (
 ),
 ti_scored AS (
   SELECT f.doc_id, f.term, f.tf, d.df,
-         round(f.tf * ln({float(n_docs)} / d.df), 6) AS score
+         round(f.tf * ln({float(n_docs) if n_docs is not None
+                          else f"CAST((SELECT count(*) FROM {table}) AS DOUBLE)"} / d.df), 6) AS score
   FROM ti_tf f JOIN ti_df d ON d.term = f.term
 )
 SELECT doc_id, term, tf, df, score, rank FROM (

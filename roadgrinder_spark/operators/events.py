@@ -154,7 +154,7 @@ def event_quantiles(
     the group's values, which is fine for bounded per-type cardinality —
     unbounded groups should use approx_percentile (same call shape)."""
     aggs = [
-        F.round(F.expr(f"percentile(value, {p})"), 6).alias(f"p{str(p)[2:]}")
+        F.round(F.expr(f"percentile(value, {p})"), 6).alias(f"p{int(round(p * 100))}")
         for p in ps
     ]
     return events.groupBy("event_type").agg(
@@ -164,7 +164,7 @@ def event_quantiles(
 
 def oracle_event_quantiles_sql(ps: tuple[float, ...] = (0.5, 0.9, 0.99)) -> str:
     qs = ", ".join(
-        f"round(quantile_cont(value, {p}), 6) AS p{str(p)[2:]}" for p in ps
+        f"round(quantile_cont(value, {p}), 6) AS p{int(round(p * 100))}" for p in ps
     )
     return (
         f"SELECT event_type, count(*) AS n, {qs} FROM events GROUP BY event_type"

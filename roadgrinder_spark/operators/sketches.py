@@ -224,3 +224,61 @@ def cm_estimate(
     return joined.groupBy(col).agg(
         F.min(F.coalesce("cnt", F.lit(0))).alias("est_count")
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampled quantiles (round 4): the mergeable quantile
+# sketch in the same hash-threshold style as KMV / mixture_resample.
+# The "sketch" is a deterministic md5-threshold row sample (a row is IN
+# the sample iff bucket16(md5(key)) < rate * 2^16), so
+#   * it is mergeable: sample(A ∪ B) = sample(A) ∪ sample(B) — partitions
+#     and incremental batches sketch independently and union;
+#   * the approximation is hash-CHECKABLE: both engines materialize the
+#     identical sample and the identical interpolated quantiles — unlike
+#     t-digest/KLL whose internals are engine-private.
+# Error behaves like quantiles of a uniform ~rate·N subsample. For exact
+# per-group percentiles at bounded cardinality use events.event_quantiles.
+# ---------------------------------------------------------------------------
+
+def sampled_quantiles(
+    df,
+    key: str = "event_id",
+    value: str = "value",
+    group: str = "event_type",
+    rate: float = 0.25,
+    ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+):
+    """Per-group approximate quantiles over the deterministic sample:
+    (group, n_sampled, p50, p90, ...) — every column hash-stable."""
+    from .sampling import N_BUCKETS, _bucket_col
+
+    thr = int(round(rate * N_BUCKETS))
+    aggs = [
+        F.round(F.expr(f"percentile({value}, {p})"), 6).alias(f"p{int(round(p * 100))}")
+        for p in ps
+    ]
+    return (
+        df.filter(_bucket_col(key) < F.lit(thr))
+        .groupBy(group)
+        .agg(F.count(F.lit(1)).alias("n_sampled"), *aggs)
+    )
+
+
+def oracle_sampled_quantiles_sql(
+    table: str = "events",
+    key: str = "event_id",
+    value: str = "value",
+    group: str = "event_type",
+    rate: float = 0.25,
+    ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> str:
+    from .sampling import N_BUCKETS, _bucket_sql
+
+    thr = int(round(rate * N_BUCKETS))
+    qs = ", ".join(
+        f"round(quantile_cont({value}, {p}), 6) AS p{int(round(p * 100))}" for p in ps
+    )
+    return (
+        f"SELECT {group}, count(*) AS n_sampled, {qs} FROM {table} "
+        f"WHERE ({_bucket_sql(key)}) < {thr} GROUP BY {group}"
+    )

@@ -41,3 +41,38 @@ def test_lsh_gate_corpus_plants_pairs(spark, duck):
         dedup.lsh_gate_corpus(embs), threshold=0.8, mode="lsh"
     ).count()
     assert got >= n, f"planted {n} clone pairs, lsh route returned {got}"
+
+
+def test_sampled_quantiles_accuracy_and_mergeability(spark):
+    """The hash-threshold quantile sketch: (a) approximates the exact
+    per-group quantiles, (b) is mergeable — sketching two disjoint
+    batches and unioning the samples equals sketching the union, because
+    membership is a pure function of the row key."""
+    from pyspark.sql import functions as F
+
+    from roadgrinder_spark.operators.events import event_quantiles
+    from roadgrinder_spark.operators.sketches import sampled_quantiles
+
+    evts = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    approx = {r["event_type"]: r for r in sampled_quantiles(evts).collect()}
+    exact = {r["event_type"]: r for r in event_quantiles(evts).collect()}
+    assert set(approx) == set(exact)
+    for et, a in approx.items():
+        e = exact[et]
+        assert a["n_sampled"] < e["n"]
+        # quantiles of a ~25% deterministic sample track the exact ones
+        spread = max(1.0, e["p99"] - e["p50"])
+        for col in ("p50", "p90", "p99"):
+            assert abs(a[col] - e[col]) <= 0.5 * spread, (et, col, a[col], e[col])
+    # mergeability: batch split by parity, union of samples == full sample
+    b0 = evts.filter(F.pmod(F.col("event_id"), F.lit(2)) == 0)
+    b1 = evts.filter(F.pmod(F.col("event_id"), F.lit(2)) == 1)
+    from roadgrinder_spark.operators.sampling import N_BUCKETS, _bucket_col
+
+    thr = int(round(0.25 * N_BUCKETS))
+    full = evts.filter(_bucket_col("event_id") < F.lit(thr))
+    merged = b0.filter(_bucket_col("event_id") < F.lit(thr)).unionByName(
+        b1.filter(_bucket_col("event_id") < F.lit(thr))
+    )
+    assert merged.exceptAll(full).count() == 0
+    assert full.exceptAll(merged).count() == 0
