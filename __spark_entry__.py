@@ -347,6 +347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["span_stats"] = lambda s, d: spans.span_stats(_packed(s, d))
     q["hex_rasterize"] = lambda s, d: sc.hex_rasterize(_pnts(s, d))
     q["sampled_quantiles"] = lambda s, d: sketches.sampled_quantiles(_events(s, d))
+    q["latest_per_key"] = lambda s, d: events.latest_per_key(_events(s, d))
 
     return q
 
@@ -520,6 +521,7 @@ def oracle_sql() -> dict[str, str]:
         *_split_body(sc.oracle_hex_rasterize_sql()), P
     )
     o["sampled_quantiles"] = sketches.oracle_sampled_quantiles_sql()
+    o["latest_per_key"] = _with(*_split_body(events.oracle_latest_per_key_sql()))
     # media trio: the decode stub is md5-arithmetic, which DuckDB can
     # reproduce exactly (media.py oracle builders)
     M = media.oracle_media_cte()

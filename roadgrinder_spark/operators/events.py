@@ -286,3 +286,35 @@ def incremental_hourly_rollup(batches: list[DataFrame]) -> DataFrame:
     return state.select(
         "hour", "event_type", "n", F.round("sum_value", 3).alias("sum_value")
     )
+
+
+def latest_per_key(events: DataFrame, key: str = "user_id") -> DataFrame:
+    """Latest event per key (the SCD-style 'current state' materializer /
+    changelog compaction): one max(struct) hash aggregate with map-side
+    partial combine — never a per-key window sort. Order is (ts micros,
+    event_id) — total, engine-portable; payload fields ride in the struct
+    and can never flip a winner (event_id is unique)."""
+    payload = F.struct(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.col("event_id"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+    return (
+        events.groupBy(key)
+        .agg(F.max(payload).alias("b"))
+        .select(key, F.col("b.ts_us"), F.col("b.event_id"),
+                F.col("b.event_type"), F.col("b.value"))
+    )
+
+
+def oracle_latest_per_key_sql(key: str = "user_id") -> str:
+    return f"""
+lp_r AS (
+  SELECT {key}, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id,
+         event_type, value,
+         row_number() OVER (PARTITION BY {key}
+                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT {key}, ts_us, event_id, event_type, value FROM lp_r WHERE rn = 1"""
