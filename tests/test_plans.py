@@ -18,6 +18,9 @@ def _plan(df, mode="simple") -> str:
 
 
 def test_parquet_filter_pushdown(spark):
+    # other modules cache these tables; a cached read resolves to
+    # InMemoryRelation and has no scan node to push into
+    spark.catalog.clearCache()
     df = (
         spark.read.parquet(f"{SF_DIR}/events.parquet")
         .filter((F.col("user_id") == 7) & (F.col("value") > 10.0))
@@ -30,6 +33,7 @@ def test_parquet_filter_pushdown(spark):
 
 
 def test_parquet_column_pruning(spark):
+    spark.catalog.clearCache()
     df = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "source")
     plan = _plan(df)
     seg = plan[plan.index("ReadSchema") :].splitlines()[0]
