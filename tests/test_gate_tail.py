@@ -23,7 +23,7 @@ def _tail_names() -> list[str]:
 def test_window_layout():
     q = entry_mod.queries()
     o = entry_mod.oracle_sql()
-    assert len(q) == 74
+    assert len(q) == 75
     missing = [k for k in q if k not in o]
     assert not missing, f"queries without oracle SQL: {missing}"
     window = list(q)[: entry_mod.GATE_WINDOW]
