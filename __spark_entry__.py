@@ -278,10 +278,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gate-window layout drifted: hourly_rollup must be entry #50"
     )
 
-    # ===== TAIL (entries 51-68): rotated out of this round's driver window.
-    # Every entry below was driver-green in BOTH round 2 and round 3
-    # (CORRECTNESS_r02/r03.json) and is re-checked against its oracle on
-    # every pytest run by tests/test_gate_tail.py. =========================
+    # ===== TAIL (entries 51-75): past this round's driver window. The
+    # first 18 below were driver-green in BOTH round 2 and round 3
+    # (CORRECTNESS_r02/r03.json); the wave-2 round-4 additions at the end
+    # are new this round. ALL tail entries are re-checked against their
+    # oracles on every pytest run by tests/test_gate_tail.py. =============
     q["alias_explosion"] = lambda s, d: rg.explode_aliases(_roads(s, d)).altnames_stage1
     q["tiles_points"] = lambda s, d: _pnts(s, d).select(
         F.col("objectid").alias("point_id"),

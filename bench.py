@@ -179,8 +179,10 @@ def run_suite() -> dict:
     probe("q_stream_geocode",
           lambda: sgate.drained_geocode_match(spark, SF_DIR).count(), rounds=2)
 
-    # timed brute-force run doubles as the recall baseline (collect once,
-    # don't pay the O(N²) kernel twice)
+    # timed brute-force probe: every round executes the O(N²) kernel
+    # (that IS the thing being timed); the top-k result is tiny (queries
+    # × k rows), and the first round's copy doubles as the recall
+    # baseline for the ann section below
     bf_rows: list = []
 
     def _bf_run():

@@ -105,6 +105,21 @@ def _run_curation_job(spark, args) -> int:
     parquet, print a one-line JSON summary."""
     from pyspark.sql import functions as F
 
+    # zonal_stats is spatial-only — resolving the documents parquet here
+    # would fail on sf dirs that carry only the spatial tables
+    if args.job == "zonal_stats":
+        from .datagen import derive_addrpnts
+        from .spatial.pip import derive_zones, zonal_stats
+
+        out = zonal_stats(
+            derive_addrpnts(spark, args.sf_dir), derive_zones(spark, args.sf_dir)
+        )
+        dest = f"{args.output}/{args.job}"
+        out.write.mode("overwrite").parquet(dest)
+        n = spark.read.parquet(dest).count()
+        print(json.dumps({"run_id": args.run_id, "job": args.job,
+                          "output": dest, "rows": n}))
+        return 0
     src = args.documents or f"{args.sf_dir}/documents.parquet"
     docs = spark.read.parquet(src)
     if args.job == "curate":
@@ -135,13 +150,6 @@ def _run_curation_job(spark, args) -> int:
         from .functions.text import token_topk
 
         out = token_topk(docs, k=100)
-    elif args.job == "zonal_stats":
-        from .datagen import derive_addrpnts
-        from .spatial.pip import derive_zones, zonal_stats
-
-        out = zonal_stats(
-            derive_addrpnts(spark, args.sf_dir), derive_zones(spark, args.sf_dir)
-        )
     elif args.job == "hash_split":
         from .operators.sampling import hash_split
 

@@ -49,25 +49,39 @@ class CurateResult:
 
 
 def curate_corpus(docs: DataFrame, cfg: CurateConfig | None = None) -> CurateResult:
-    """Run the full funnel. Counts are taken per stage (one action each);
-    the surviving corpus is returned as a lazy frame over the final plan."""
+    """Run the full funnel. The input/quality/language counts come from
+    ONE conditional-aggregation pass over the scored corpus (review r4:
+    per-stage count() actions each re-ran the scoring regexes over the
+    whole corpus); the redact/split stage is a 1:1 map of the dedup
+    survivors, so its count is the dedup count by construction. The
+    surviving corpus is returned as a lazy frame over the final plan."""
     cfg = cfg or CurateConfig()
     spark = docs.sparkSession
-    stages: list[tuple[str, int]] = [("input", docs.count())]
 
     scored = docs.withColumn("n_tokens", T.token_count(F.col("text"))).withColumn(
         "quality", T.quality_score(F.col("text"))
     )
-    q = scored.filter(
-        (F.col("n_tokens") >= cfg.min_tokens)
-        & (F.col("quality") >= cfg.min_quality)
+    q_pred = (F.col("n_tokens") >= cfg.min_tokens) & (
+        F.col("quality") >= cfg.min_quality
     )
-    stages.append(("quality", q.count()))
+    lang_col = T.lang_id(F.col("text"))
+    l_pred = q_pred & (
+        lang_col.isin(*cfg.langs) if cfg.langs else F.lit(True)
+    )
+    counts = scored.agg(
+        F.count(F.lit(1)).alias("n_in"),
+        F.sum(q_pred.cast("long")).alias("n_q"),
+        F.sum(l_pred.cast("long")).alias("n_l"),
+    ).collect()[0]
+    stages: list[tuple[str, int]] = [
+        ("input", counts["n_in"] or 0),
+        ("quality", counts["n_q"] or 0),
+        ("language", counts["n_l"] or 0),
+    ]
 
-    lp = q.withColumn("lang_pred", T.lang_id(F.col("text")))
+    lp = scored.filter(q_pred).withColumn("lang_pred", T.lang_id(F.col("text")))
     if cfg.langs:
         lp = lp.filter(F.col("lang_pred").isin(*cfg.langs))
-    stages.append(("language", lp.count()))
 
     # near-dup removal over the SURVIVING docs (dedup after cheap filters:
     # the quadratic-candidate stage sees the smallest possible corpus)
@@ -84,7 +98,10 @@ def curate_corpus(docs: DataFrame, cfg: CurateConfig | None = None) -> CurateRes
         .join(lp.select("doc_id", "lang_pred"), "doc_id")
         .select("doc_id", "text_redacted", "lang_pred", "split")
     )
-    stages.append(("redact_split", out.count()))
+    # redaction + split are 1:1 inner joins on the unique doc_id, so the
+    # final count equals the dedup count structurally — counting it again
+    # would re-run the 8-regex redaction chain for an identical number
+    stages.append(("redact_split", stages[-1][1]))
 
     funnel = spark.createDataFrame(
         [(name, i, int(n)) for i, (name, n) in enumerate(stages)],

@@ -1044,13 +1044,16 @@ def dedup_keep_canonical(
 ) -> DataFrame:
     """Every doc → (doc_id, canonical_id, kept): canonical is the cluster
     minimum for near-dup members, the doc itself otherwise; kept is true
-    exactly once per canonical id. Cost = dedup_clusters + one broadcast
-    join (the cluster frame is |clustered docs|, tiny vs the corpus)."""
+    exactly once per canonical id. Cost = dedup_clusters + one left join
+    on doc_id. No broadcast hint: the cluster frame is O(near-dup docs),
+    which a boilerplate-heavy corpus makes O(corpus) — AQE picks the
+    broadcast itself whenever the frame is actually small (review r4;
+    same rule as the cap-free ngram strategy at dedup.py:220)."""
     clusters = dedup_clusters(docs, k=k, threshold=threshold, max_df=max_df)
     canon = F.coalesce("cluster_id", F.col("doc_id"))
     return (
         docs.select("doc_id")
-        .join(F.broadcast(clusters.select("doc_id", "cluster_id")), "doc_id", "left")
+        .join(clusters.select("doc_id", "cluster_id"), "doc_id", "left")
         .select(
             "doc_id",
             canon.alias("canonical_id"),

@@ -73,11 +73,14 @@ def spread_input(df):
     import os as _os
 
     # Estimate the scan's partition count the way FilePartition packing
-    # does: total bytes padded by openCostInBytes per file, divided by the
-    # split size. A per-file floor of one split is WRONG here — Spark
-    # packs many tiny files into one split, so "many files" is not
-    # "already parallel" (ADVICE r3: a 1000-tiny-file table coalesces to
-    # 1-2 scan partitions and downstream kernels run near-serial).
+    # does: Spark's split size is maxSplitBytes = min(maxPartitionBytes,
+    # max(openCostInBytes, totalPaddedBytes / defaultParallelism)), and
+    # splits pack whole (padded) files up to that size. Neither a
+    # per-file floor (ADVICE r3: files get packed) nor a plain
+    # totalBytes/maxPartitionBytes division (review r4: openCost padding
+    # caps packing at ~maxSplit/openCost files per split, so that
+    # UNDERcounts by up to mpb/openCost and forces needless shuffles) is
+    # right — compute the actual split size.
     raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
     mpb = _parse_bytes(str(raw))
     open_cost = _parse_bytes(
@@ -90,7 +93,8 @@ def spread_input(df):
             total += _os.path.getsize(p) + open_cost
         except OSError:
             total += open_cost
-    if -(-total // mpb) >= target:
+    max_split = min(mpb, max(open_cost, total // max(1, target)))
+    if -(-total // max(1, max_split)) >= target:
         return df
     return df.repartition(target)
 

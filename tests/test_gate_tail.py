@@ -3,7 +3,7 @@
 The grading driver records correctness rows for the first GATE_WINDOW
 (=50) entries only; this suite re-runs the driver's exact compare
 (order-insensitive full-frame equality vs the DuckDB oracle) over every
-entry PAST the window, so the whole 68-query surface keeps an
+entry PAST the window, so the whole 75-query surface keeps an
 oracle-exact check each round — 50 at the driver, the rest here.
 """
 
