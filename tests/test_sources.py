@@ -101,3 +101,31 @@ def test_iceberg_adapter_contract(spark):
     cat.rollback("t_contract", v1)
     assert cat.read("t_contract").count() == 5
     assert v2 in {s["version"] for s in cat.snapshots("t_contract")}
+
+
+def test_spread_input_split_estimate(spark, tmp_path):
+    """spread_input mirrors FilePartition packing: a single tiny file is
+    repartitioned up to the session parallelism; a table whose padded
+    bytes already pack into >= parallelism splits is left alone (review
+    r4: the old maxPartitionBytes division under-counted splits by up to
+    mpb/openCost and re-shuffled already-parallel tables)."""
+    from pyspark.sql import functions as F
+
+    from roadgrinder_spark.session import spread_input
+
+    target = spark.sparkContext.defaultParallelism
+
+    one = str(tmp_path / "one")
+    spark.range(1000).coalesce(1).write.mode("overwrite").parquet(one)
+    small = spark.read.parquet(one)
+    assert spread_input(small).rdd.getNumPartitions() >= min(4, target)
+
+    # many tiny files: openCost padding makes each file ~a split of its
+    # own, so the scan is already parallel and must NOT be re-shuffled
+    many = str(tmp_path / "many")
+    spark.range(10_000).withColumn("p", F.pmod("id", F.lit(64))).write.mode(
+        "overwrite"
+    ).partitionBy("p").parquet(many)
+    wide = spark.read.parquet(many)
+    out = spread_input(wide)
+    assert out is wide  # identity: no repartition node added
