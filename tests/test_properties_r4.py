@@ -170,3 +170,45 @@ def test_hex_cells_match_python_and_tile_the_plane(spark):
         want[key] = want.get(key, 0) + 1
     got = {(r["hq"], r["hr"]): r["n"] for r in cells}
     assert got == want
+
+
+RECTS = st.tuples(
+    st.integers(min_value=0, max_value=20),
+    st.integers(min_value=0, max_value=20),
+    st.integers(min_value=1, max_value=10),
+    st.integers(min_value=1, max_value=10),
+)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(RECTS, min_size=1, max_size=8),
+       st.lists(RECTS, min_size=1, max_size=8))
+def test_zone_overlay_matches_python(spark, ra, rb):
+    """Overlay equals the independent python rect-intersection on random
+    integer rectangles (touching edges excluded, area always positive)."""
+    from roadgrinder_spark.spatial.pip import zone_overlay
+
+    def frame(rs, base):
+        rows = [
+            (base + i, f"z{base + i}", float(x), float(x + w), float(y), float(y + h))
+            for i, (x, y, w, h) in enumerate(rs)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "zone_id long, zone_name string, x_min double, x_max double, "
+            "y_min double, y_max double",
+        )
+
+    got = {
+        (r["zone_a"], r["zone_b"]): r["inter_area"]
+        for r in zone_overlay(frame(ra, 0), frame(rb, 100)).collect()
+    }
+    want = {}
+    for i, (ax, ay, aw, ah) in enumerate(ra):
+        for j, (bx, by, bw, bh) in enumerate(rb):
+            w = min(ax + aw, bx + bw) - max(ax, bx)
+            h = min(ay + ah, by + bh) - max(ay, by)
+            if w > 0 and h > 0:
+                want[(i, 100 + j)] = float(w * h)
+    assert got == want
