@@ -105,21 +105,17 @@ def _run_curation_job(spark, args) -> int:
     parquet, print a one-line JSON summary."""
     from pyspark.sql import functions as F
 
-    # zonal_stats is spatial-only — resolving the documents parquet here
-    # would fail on sf dirs that carry only the spatial tables
     if args.job == "zonal_stats":
+        # spatial-only job: never resolve the documents parquet (sf dirs
+        # carrying only the spatial tables must work); falls through to
+        # the shared write/count/summary epilogue below
         from .datagen import derive_addrpnts
         from .spatial.pip import derive_zones, zonal_stats
 
         out = zonal_stats(
             derive_addrpnts(spark, args.sf_dir), derive_zones(spark, args.sf_dir)
         )
-        dest = f"{args.output}/{args.job}"
-        out.write.mode("overwrite").parquet(dest)
-        n = spark.read.parquet(dest).count()
-        print(json.dumps({"run_id": args.run_id, "job": args.job,
-                          "output": dest, "rows": n}))
-        return 0
+        return _write_job_output(spark, args, out)
     src = args.documents or f"{args.sf_dir}/documents.parquet"
     docs = spark.read.parquet(src)
     if args.job == "curate":
@@ -168,6 +164,11 @@ def _run_curation_job(spark, args) -> int:
             F.round(T.quality_score(F.col("text")), 6).alias("quality"),
         )
         out = stats.join(T.repetition_stats(docs), "doc_id")
+    return _write_job_output(spark, args, out)
+
+
+def _write_job_output(spark, args, out) -> int:
+    """Shared job epilogue: write parquet, count, one-line JSON summary."""
     dest = f"{args.output}/{args.job}"
     out.write.mode("overwrite").parquet(dest)
     n = spark.read.parquet(dest).count()

@@ -48,16 +48,12 @@ class CurateResult:
     metrics: dict
 
 
-def curate_corpus(docs: DataFrame, cfg: CurateConfig | None = None) -> CurateResult:
-    """Run the full funnel. The input/quality/language counts come from
-    ONE conditional-aggregation pass over the scored corpus (review r4:
-    per-stage count() actions each re-ran the scoring regexes over the
-    whole corpus); the redact/split stage is a 1:1 map of the dedup
-    survivors, so its count is the dedup count by construction. The
-    surviving corpus is returned as a lazy frame over the final plan."""
-    cfg = cfg or CurateConfig()
-    spark = docs.sparkSession
-
+def _score_and_filter(docs: DataFrame, cfg: CurateConfig):
+    """The quality/language gate shared by BOTH funnel variants (review
+    r4: the resumable path re-implemented it and the two could drift).
+    Returns (scored, q_pred, l_pred, lp): the scored frame, the two gate
+    predicates (for single-pass conditional counting), and the filtered
+    frame carrying lang_pred."""
     scored = docs.withColumn("n_tokens", T.token_count(F.col("text"))).withColumn(
         "quality", T.quality_score(F.col("text"))
     )
@@ -68,6 +64,23 @@ def curate_corpus(docs: DataFrame, cfg: CurateConfig | None = None) -> CurateRes
     l_pred = q_pred & (
         lang_col.isin(*cfg.langs) if cfg.langs else F.lit(True)
     )
+    lp = scored.filter(q_pred).withColumn("lang_pred", T.lang_id(F.col("text")))
+    if cfg.langs:
+        lp = lp.filter(F.col("lang_pred").isin(*cfg.langs))
+    return scored, q_pred, l_pred, lp
+
+
+def curate_corpus(docs: DataFrame, cfg: CurateConfig | None = None) -> CurateResult:
+    """Run the full funnel. The input/quality/language counts come from
+    ONE conditional-aggregation pass over the scored corpus (review r4:
+    per-stage count() actions each re-ran the scoring regexes over the
+    whole corpus); the redact/split stage is a 1:1 map of the dedup
+    survivors, so its count is the dedup count by construction. The
+    surviving corpus is returned as a lazy frame over the final plan."""
+    cfg = cfg or CurateConfig()
+    spark = docs.sparkSession
+
+    scored, q_pred, l_pred, lp = _score_and_filter(docs, cfg)
     counts = scored.agg(
         F.count(F.lit(1)).alias("n_in"),
         F.sum(q_pred.cast("long")).alias("n_q"),
@@ -78,10 +91,6 @@ def curate_corpus(docs: DataFrame, cfg: CurateConfig | None = None) -> CurateRes
         ("quality", counts["n_q"] or 0),
         ("language", counts["n_l"] or 0),
     ]
-
-    lp = scored.filter(q_pred).withColumn("lang_pred", T.lang_id(F.col("text")))
-    if cfg.langs:
-        lp = lp.filter(F.col("lang_pred").isin(*cfg.langs))
 
     # near-dup removal over the SURVIVING docs (dedup after cheap filters:
     # the quadratic-candidate stage sees the smallest possible corpus)
@@ -154,21 +163,11 @@ def curate_corpus_resumable(
         )
         return hashlib.md5(payload.encode()).hexdigest()[:16]
 
-    def _filtered() -> DataFrame:
-        lp = (
-            docs.withColumn("n_tokens", T.token_count(F.col("text")))
-            .withColumn("quality", T.quality_score(F.col("text")))
-            .filter(
-                (F.col("n_tokens") >= cfg.min_tokens)
-                & (F.col("quality") >= cfg.min_quality)
-            )
-            .withColumn("lang_pred", T.lang_id(F.col("text")))
-        )
-        if cfg.langs:
-            lp = lp.filter(F.col("lang_pred").isin(*cfg.langs))
-        return lp
-
-    filtered = ck.stage("curate_filtered", fp("filtered"), _filtered)
+    filtered = ck.stage(
+        "curate_filtered",
+        fp("filtered"),
+        lambda: _score_and_filter(docs, cfg)[3],
+    )
     keep = ck.stage(
         "curate_keep",
         fp("keep"),

@@ -140,6 +140,16 @@ ORACLE_EVENTS_CUBE = (
 )
 
 
+def quantile_label(p: float) -> str:
+    """Injective, readable column label for a quantile probability:
+    0.5 -> p50, 0.9 -> p90, 0.99 -> p99, 0.505 -> p505, 0.001 -> p001.
+    int(round(p*100)) collapsed distinct probabilities (0.5 and 0.505
+    both -> p50, review r4); the decimal-digit string never does."""
+    g = f"{p:g}"
+    frac = g.split(".")[1] if "." in g else "0"
+    return "p" + (frac.ljust(2, "0") if len(frac) < 2 else frac)
+
+
 def event_quantiles(
     events: DataFrame, ps: tuple[float, ...] = (0.5, 0.9, 0.99)
 ) -> DataFrame:
@@ -154,7 +164,7 @@ def event_quantiles(
     the group's values, which is fine for bounded per-type cardinality —
     unbounded groups should use approx_percentile (same call shape)."""
     aggs = [
-        F.round(F.expr(f"percentile(value, {p})"), 6).alias(f"p{int(round(p * 100))}")
+        F.round(F.expr(f"percentile(value, {p})"), 6).alias(quantile_label(p))
         for p in ps
     ]
     return events.groupBy("event_type").agg(
@@ -164,7 +174,7 @@ def event_quantiles(
 
 def oracle_event_quantiles_sql(ps: tuple[float, ...] = (0.5, 0.9, 0.99)) -> str:
     qs = ", ".join(
-        f"round(quantile_cont(value, {p}), 6) AS p{int(round(p * 100))}" for p in ps
+        f"round(quantile_cont(value, {p}), 6) AS {quantile_label(p)}" for p in ps
     )
     return (
         f"SELECT event_type, count(*) AS n, {qs} FROM events GROUP BY event_type"

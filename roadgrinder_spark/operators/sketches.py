@@ -240,6 +240,9 @@ def cm_estimate(
 # per-group percentiles at bounded cardinality use events.event_quantiles.
 # ---------------------------------------------------------------------------
 
+from .events import quantile_label as _qlabel
+
+
 def sampled_quantiles(
     df,
     key: str = "event_id",
@@ -254,7 +257,7 @@ def sampled_quantiles(
 
     thr = int(round(rate * N_BUCKETS))
     aggs = [
-        F.round(F.expr(f"percentile({value}, {p})"), 6).alias(f"p{int(round(p * 100))}")
+        F.round(F.expr(f"percentile({value}, {p})"), 6).alias(_qlabel(p))
         for p in ps
     ]
     return (
@@ -276,7 +279,7 @@ def oracle_sampled_quantiles_sql(
 
     thr = int(round(rate * N_BUCKETS))
     qs = ", ".join(
-        f"round(quantile_cont({value}, {p}), 6) AS p{int(round(p * 100))}" for p in ps
+        f"round(quantile_cont({value}, {p}), 6) AS {_qlabel(p)}" for p in ps
     )
     return (
         f"SELECT {group}, count(*) AS n_sampled, {qs} FROM {table} "

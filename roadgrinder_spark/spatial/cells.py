@@ -335,9 +335,13 @@ def _hex_qr_exprs(px: str, py: str, size: float) -> tuple[str, str]:
         f"CAST(CASE WHEN {dx} > {dy} AND {dx} > {dz} "
         f"THEN -({ry}) - ({rz}) ELSE {rx} END AS BIGINT)"
     )
+    # rz is corrected in the textbook ELSE branch, i.e. when the rx-fix
+    # did not fire AND NOT (dy > dz) — note >=: an exact dy == dz tie
+    # (reachable: coordinates land on hex-edge midpoints) must fix rz,
+    # or the rounded cube triple stays off-lattice (review r4)
     r = (
         f"CAST(CASE WHEN NOT ({dx} > {dy} AND {dx} > {dz}) "
-        f"AND {dz} > {dy} THEN -({rx}) - ({ry}) ELSE {rz} END AS BIGINT)"
+        f"AND {dz} >= {dy} THEN -({rx}) - ({ry}) ELSE {rz} END AS BIGINT)"
     )
     return q, r
 

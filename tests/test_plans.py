@@ -55,11 +55,12 @@ def test_hot_path_stays_in_codegen(spark):
     # AQE wraps the tree in AdaptiveSparkPlan and defers codegen insertion
     # to execution; disable it for the inspection so the compiled spans
     # are visible in the static plan
+    prior = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         plan = _plan(sj.geocode_match(pnts, gcr))
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", prior)
     assert "*(" in plan  # whole-stage-codegen span marker (simple mode)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 

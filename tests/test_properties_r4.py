@@ -144,7 +144,7 @@ def _hex_py(px: float, py: float, size: float):
     dx, dy, dz = abs(rx - xf), abs(ry - yf), abs(rz - zf)
     if dx > dy and dx > dz:
         rx = -ry - rz
-    elif dz > dy:
+    elif dz >= dy:  # textbook else-branch: dy > dz fixes ry (not emitted)
         rz = -rx - ry
     return rx, rz
 
