@@ -4,8 +4,8 @@ entry(spark)   — flagship: derive SGID-shaped inputs from sf0.001, pack
                  them into the interleaved span-document substrate, unpack,
                  run the alias pipeline and the spatial geocode match.
 queries()      — one entry per implemented operator (SURVEY.md §2 plus the
-                 LLM-curation surface). 75 entries total.
-oracle_sql()   — DuckDB-equivalent SQL for EVERY one of the 75 queries:
+                 LLM-curation surface). 76 entries total.
+oracle_sql()   — DuckDB-equivalent SQL for EVERY one of the 76 queries:
                  hash-based ops ride the portable polynomial hash
                  (functions/phash.py), the media stub's md5 arithmetic is
                  reproduced in SQL, the approximate IVF entry runs a
@@ -19,13 +19,13 @@ rows for the FIRST 50 entries in insertion order (observed cap —
 CORRECTNESS_r03.json stopped at exactly 50 of 60). queries() is therefore
 ordered so the window covers (a) the 10 entries that had no r3 row
 (events trio, 4 streaming drains, media trio), (b) the 8 new round-4
-operators, and (c) 32 core operators. The 25 TAIL entries (marked below)
+operators, and (c) 32 core operators. The 26 TAIL entries (marked below)
 sit past this round's window; the first 18 were driver-green in round 2
 AND round 3, the rest are round-4 wave-2 additions, and
 tests/test_gate_tail.py re-runs the driver's exact compare
-(order-insensitive full-frame equality vs DuckDB) over all 25 on every
-pytest run — so the full 75-query surface keeps an oracle-exact check
-every round, 50 at the driver and 25 in the suite.
+(order-insensitive full-frame equality vs DuckDB) over all 26 on every
+pytest run — so the full 76-query surface keeps an oracle-exact check
+every round, 50 at the driver and 26 in the suite.
 """
 
 from __future__ import annotations
@@ -278,7 +278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gate-window layout drifted: hourly_rollup must be entry #50"
     )
 
-    # ===== TAIL (entries 51-75): past this round's driver window. The
+    # ===== TAIL (entries 51-76): past this round's driver window. The
     # first 18 below were driver-green in BOTH round 2 and round 3
     # (CORRECTNESS_r02/r03.json); the wave-2 round-4 additions at the end
     # are new this round. ALL tail entries are re-checked against their
@@ -352,6 +352,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["zone_overlay"] = lambda s, d: sp.zone_overlay(
         sp.derive_zones(s, d), sp.derive_zones_shifted(s, d)
     )
+
+    def _stream_ij(s, d):
+        from roadgrinder_spark.streaming import gate as _sg
+
+        return _sg.drained_interval_join(s, d)
+
+    # watermarked stream-stream interval join (attribution window),
+    # drained in one micro-batch so the batch oracle applies verbatim
+    q["stream_interval_join"] = _stream_ij
 
     return q
 
@@ -487,6 +496,7 @@ def oracle_sql() -> dict[str, str]:
     o["stream_hourly_rollup"] = sgate.ORACLE_STREAM_HOURLY_ROLLUP
     o["stream_sessionize"] = _with(*_split_body(events.oracle_sessionize_sql()))
     o["stream_exact_dedup"] = sgate.ORACLE_STREAM_EXACT_DEDUP
+    o["stream_interval_join"] = sgate.ORACLE_STREAM_INTERVAL_JOIN
     o["top_users"] = _with(*_split_body(events.oracle_top_users_sql()))
     # hash-dedup family: portable polynomial base hash (functions/phash.py)
     # makes minhash/simhash/fingerprints value-checkable in DuckDB

@@ -178,3 +178,59 @@ def drained_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_STREAM_EXACT_DEDUP = "SELECT DISTINCT md5(text) AS text_md5 FROM documents"
+
+
+def drained_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """availableNow drain of a watermarked STREAM-STREAM interval join —
+    each purchase joined to the same user's clicks in the preceding hour
+    (the attribution-window join). Single-file staging keeps the run one
+    micro-batch, so the watermark never advances mid-run and no state is
+    dropped: the drained output equals the batch interval join exactly,
+    and the batch oracle applies verbatim."""
+    src = _stage_copy(f"{sf_dir}/events.parquet", "rg_sgate_ij_")
+
+    def side(event_type: str, prefix: str):
+        return (
+            spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 4)
+            .parquet(src)
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "4 hours")
+        )
+
+    l, r = side("purchase", "l"), side("click", "r")
+    joined = l.join(
+        r,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("r_ts") <= F.col("l_ts")),
+        "inner",
+    ).select(
+        F.col("l_id").alias("purchase_id"),
+        F.col("r_id").alias("click_id"),
+        F.col("l_user").alias("user_id"),
+        F.unix_micros("l_ts").alias("purchase_us"),
+        F.unix_micros("r_ts").alias("click_us"),
+    )
+    rows = run_available_now(joined, query_name=_uniq("ij_gate"))
+    return spark.createDataFrame(
+        rows,
+        "purchase_id long, click_id long, user_id long, "
+        "purchase_us long, click_us long",
+    )
+
+
+ORACLE_STREAM_INTERVAL_JOIN = """
+SELECT l.event_id AS purchase_id, r.event_id AS click_id,
+       l.user_id,
+       CAST(epoch_us(l.ts) AS BIGINT) AS purchase_us,
+       CAST(epoch_us(r.ts) AS BIGINT) AS click_us
+FROM events l JOIN events r
+  ON l.event_type = 'purchase' AND r.event_type = 'click'
+ AND r.user_id = l.user_id
+ AND r.ts >= l.ts - INTERVAL 1 HOUR AND r.ts <= l.ts"""
