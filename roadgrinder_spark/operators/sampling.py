@@ -175,3 +175,44 @@ SELECT {cols} FROM (
 )
 WHERE ({_bucket_sql(key)})
       < least(CAST({N_BUCKETS} AS DOUBLE), _tn / _n_g * CAST({N_BUCKETS} AS DOUBLE))"""
+
+
+def weighted_sample(
+    df: DataFrame, weight_col: str, n: int, key: str = "doc_id"
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis A-ES): each row draws u from the md5 bucket of
+    its key (no RNG — reproducible across runs, partitions, and engines)
+    and ranks by ln(u)/w, a monotone transform of the classic u^(1/w)
+    key; the top-n ranks are the sample, inclusion probability
+    proportional to weight. Quality-weighted corpus selection without a
+    seed to manage.
+
+    Plan: narrow projection + TakeOrderedAndProject (per-partition
+    partial top-n, n rows to the driver — no global sort). Rows with
+    non-positive weight are excluded (they have probability 0 and the
+    rank key is undefined). The key is rounded to 6 dp with a `key`
+    tiebreak so both engines agree on the cut (ln is 1-ulp per engine)."""
+    u = (_bucket_col(key).cast("double") + 0.5) / float(N_BUCKETS)
+    es = F.round(F.log(u) / F.col(weight_col), 6)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("es_key", es)
+        .orderBy(F.col("es_key").desc(), F.col(key).asc())
+        .limit(n)
+        .select(key, weight_col, "es_key")
+    )
+
+
+def oracle_weighted_sample_sql(
+    table: str, weight_col: str, n: int, key: str = "doc_id"
+) -> str:
+    u = f"(({_bucket_sql(key)}) + 0.5) / {float(N_BUCKETS)}"
+    es = f"round(ln({u}) / {weight_col}, 6)"
+    return f"""
+ws_ranked AS (
+  SELECT {key}, {weight_col}, {es} AS es_key,
+         row_number() OVER (ORDER BY {es} DESC, {key}) AS rn
+  FROM {table} WHERE {weight_col} > 0
+)
+SELECT {key}, {weight_col}, es_key FROM ws_ranked WHERE rn <= {n}"""

@@ -3,7 +3,7 @@
 The grading driver records correctness rows for the first GATE_WINDOW
 (=50) entries only; this suite re-runs the driver's exact compare
 (order-insensitive full-frame equality vs the DuckDB oracle) over every
-entry PAST the window, so the whole 76-query surface keeps an
+entry PAST the window, so the whole 77-query surface keeps an
 oracle-exact check each round — 50 at the driver, the rest here.
 """
 
@@ -23,7 +23,7 @@ def _tail_names() -> list[str]:
 def test_window_layout():
     q = entry_mod.queries()
     o = entry_mod.oracle_sql()
-    assert len(q) == 76
+    assert len(q) == 77
     missing = [k for k in q if k not in o]
     assert not missing, f"queries without oracle SQL: {missing}"
     window = list(q)[: entry_mod.GATE_WINDOW]

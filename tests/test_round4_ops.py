@@ -76,3 +76,22 @@ def test_sampled_quantiles_accuracy_and_mergeability(spark):
     )
     assert merged.exceptAll(full).count() == 0
     assert full.exceptAll(merged).count() == 0
+
+
+def test_weighted_sample_bias_and_determinism(spark):
+    """A-ES weighted sampling: longer docs (weight = n_chars) must be
+    over-represented vs the corpus mean, and the sample is identical
+    across runs (hash-derived uniforms, no RNG)."""
+    from pyspark.sql import functions as F
+
+    from roadgrinder_spark.operators.sampling import weighted_sample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    s1 = weighted_sample(docs, "n_chars", 100)
+    mean_all = docs.agg(F.avg("n_chars")).first()[0]
+    mean_s = s1.agg(F.avg("n_chars")).first()[0]
+    assert mean_s > mean_all, (mean_s, mean_all)
+    s2 = weighted_sample(docs, "n_chars", 100)
+    assert s1.exceptAll(s2).count() == 0 and s2.exceptAll(s1).count() == 0
