@@ -29,13 +29,22 @@ from .dedup import dedup_keep_canonical
 from .sampling import hash_split
 
 
+#: the oracle-gated dedup configuration — the __spark_entry__
+#: `dedup_keep_canonical` gate entry runs dedup_keep_canonical with
+#: exactly these values, so the CLI/default funnel exercises the same
+#: configuration the driver hash-checks every round (VERDICT r4 #8:
+#: pin CLI defaults to the gate params; tests/test_curate.py enforces).
+GATE_DEDUP_THRESHOLD = 0.25
+GATE_DEDUP_MAX_DF = 100
+
+
 @dataclass
 class CurateConfig:
     min_tokens: int = 5
     min_quality: float = 0.2
     langs: tuple[str, ...] = ()          # empty = keep all languages
-    dedup_threshold: float = 0.5
-    dedup_max_df: int = 1000
+    dedup_threshold: float = GATE_DEDUP_THRESHOLD
+    dedup_max_df: int = GATE_DEDUP_MAX_DF
     splits: dict[str, float] = field(
         default_factory=lambda: {"train": 0.98, "val": 0.01, "test": 0.01}
     )

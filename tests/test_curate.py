@@ -67,6 +67,11 @@ def test_funnel_monotone_and_output_shape(spark):
         out.select("doc_id", "split").exceptAll(again.select("doc_id", "split")).count()
         == 0
     )
+    # the reported redact_split count is copied from the dedup count by
+    # construction (redact + split are 1:1 on the unique doc_id); pin the
+    # invariant so a cardinality-changing edit to pii_redact/hash_split
+    # fails loudly instead of silently misreporting (ADVICE r4)
+    assert out.count() == rows["dedup"] == rows["redact_split"]
 
 
 def test_cli_curate_job(spark, tmp_path):
