@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .cells import DEFAULT_CELL_SIZE, point_cell, segment_bbox_cover
+from .cells import DEFAULT_CELL_SIZE, pack_cell, point_cell, segment_bbox_cover
 
 DEFAULT_RADIUS_M = 100.0
 
@@ -213,6 +213,291 @@ def knn_join(
         .filter((F.col("rank") <= k) & (F.col("dist2") <= r2))
         .select("point_id", "road_id", "rank", "dist2", "cell")
     )
+
+
+def hex_knn(
+    points: DataFrame,
+    roads: DataFrame,
+    k: int = 1,
+    radius_m: float = DEFAULT_RADIUS_M,
+    size: float = DEFAULT_CELL_SIZE,
+) -> DataFrame:
+    """kNN nearest-road on the HEX index (VERDICT r4 #7): same contract
+    as knn_join, but candidates come from the axial hex-cell equi-join —
+    point → (hq, hr) via hex_cell_cols, segment → hex_segment_cover with
+    pad = radius + size (lossless for ANY radius: the pad absorbs the hex
+    circumradius, see the cover's docstring). Exact dist² residual +
+    identical top-k ordering, so the (point_id, road_id, rank, dist2)
+    result EQUALS knn_join's at matched resolution — pinned by
+    tests/test_spatial.py::test_hex_knn_equals_square_grid.
+
+    Returns (point_id, road_id, rank, dist2, hq, hr) — hq/hr are the
+    point's hex tile assignment (parity columns).
+
+    Scale shape is the square-grid plan's: shuffle by hex cell id, hot
+    downtown hexes are the same heavy-hitter keys (skew.salted_cell_join
+    composes — the salt is on the packed cell)."""
+    from .cells import hex_cell_cols, hex_segment_cover, pack_cell
+
+    hq, hr = hex_cell_cols("px", "py", size)
+    pts = points.select(
+        F.col("objectid").alias("point_id"),
+        "px",
+        "py",
+        hq.alias("hq"),
+        hr.alias("hr"),
+    ).withColumn("hcell", pack_cell(F.col("hq"), F.col("hr")))
+    cover = hex_segment_cover(
+        roads.select(F.col("objectid").alias("road_id"), "x1", "y1", "x2", "y2"),
+        size=size,
+        pad=float(radius_m) + float(size),
+    ).hint("shuffle_hash")
+    cand = with_dist2(pts.join(cover, "hcell"))
+    r2 = F.lit(float(radius_m) ** 2)
+    if k == 1:
+        best = (
+            cand.groupBy("point_id", "hq", "hr")
+            .agg(
+                F.min("dist2").alias("dist2"),
+                F.min_by("road_id", F.struct("dist2", "road_id")).alias("road_id"),
+            )
+            .filter(F.col("dist2") <= r2)
+        )
+        return best.select(
+            "point_id", "road_id", F.lit(1).alias("rank"), "dist2", "hq", "hr"
+        )
+    w = Window.partitionBy("point_id").orderBy(
+        F.col("dist2").asc(), F.col("road_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter((F.col("rank") <= k) & (F.col("dist2") <= r2))
+        .select("point_id", "road_id", "rank", "dist2", "hq", "hr")
+    )
+
+
+def oracle_hex_knn_sql(
+    k: int = 1,
+    radius_m: float = DEFAULT_RADIUS_M,
+    size: float = DEFAULT_CELL_SIZE,
+) -> str:
+    """DuckDB oracle for hex_knn: bbox-range candidate join (a different
+    pruning than the hex cover — agreement is evidence the cover is
+    lossless) + identical dist²/rank, hex tile via the shared
+    _hex_qr_exprs strings."""
+    from .cells import _hex_qr_exprs
+
+    r = float(radius_m)
+    hq, hr = _hex_qr_exprs("p.px", "p.py", size)
+    return f"""
+hknn_cand0 AS (
+  SELECT p.objectid AS point_id, r.objectid AS road_id, p.px, p.py,
+         r.x1, r.y1, r.x2, r.y2,
+         {hq} AS hq, {hr} AS hr
+  FROM addrpnts p JOIN roads r
+    ON p.px BETWEEN (CASE WHEN r.x1 < r.x2 THEN r.x1 ELSE r.x2 END) - {r}
+               AND (CASE WHEN r.x1 > r.x2 THEN r.x1 ELSE r.x2 END) + {r}
+   AND p.py BETWEEN (CASE WHEN r.y1 < r.y2 THEN r.y1 ELSE r.y2 END) - {r}
+               AND (CASE WHEN r.y1 > r.y2 THEN r.y1 ELSE r.y2 END) + {r}
+),
+hknn_cand AS ({dist2_select_sql('hknn_cand0')})
+SELECT point_id, road_id, rank, dist2, hq, hr FROM (
+  SELECT point_id, road_id, dist2, hq, hr,
+         row_number() OVER (PARTITION BY point_id ORDER BY dist2, road_id) AS rank
+  FROM hknn_cand WHERE dist2 <= {r * r}
+) WHERE rank <= {k}"""
+
+
+def point_pairs_within(
+    points: DataFrame,
+    distance_m: float = 25.0,
+    cell_size: float = DEFAULT_CELL_SIZE,
+) -> DataFrame:
+    """Distance-band spatial SELF-join: all unordered point pairs within
+    `distance_m` — the co-location primitive behind duplicate-address
+    detection and spatial clustering. Returns (a_id, b_id, dist2) with
+    a_id < b_id.
+
+    Plan (no dedup pass needed): the LEFT side keeps only its OWN cell;
+    the RIGHT side explodes into its 3×3 ring. For distance <= cell_size
+    the ring-1 cover of b always contains a's cell when the pair is
+    within range, and since a's cell is unique each qualifying pair
+    joins EXACTLY once — candidate join is a plain equi-join on cell,
+    residual is the exact point distance. Shuffle is by cell id (9N
+    ring rows); dense downtown cells are the usual heavy hitters and
+    AQE skew-split applies (same key shape as knn_join)."""
+    if distance_m > cell_size:
+        raise ValueError("lossless ring-1 pairing needs distance <= cell_size")
+    s = float(cell_size)
+    a = points.select(
+        F.col("objectid").alias("a_id"),
+        F.col("px").alias("ax"),
+        F.col("py").alias("ay"),
+        point_cell(F.col("px"), F.col("py"), s).alias("cell"),
+    )
+    ring = F.sequence(F.lit(-1), F.lit(1))
+    b = (
+        points.select(
+            F.col("objectid").alias("b_id"),
+            F.col("px").alias("bx"),
+            F.col("py").alias("by"),
+        )
+        .withColumn("_dx", F.explode(ring))
+        .withColumn("_dy", F.explode(ring))
+        .withColumn("_cx", F.floor(F.col("bx") / s).cast("long") + F.col("_dx"))
+        .withColumn("_cy", F.floor(F.col("by") / s).cast("long") + F.col("_dy"))
+        .withColumn("cell", pack_cell(F.col("_cx"), F.col("_cy")))
+        .drop("_dx", "_dy", "_cx", "_cy")
+    )
+    d2 = F.lit(float(distance_m) ** 2)
+    dx = F.col("bx") - F.col("ax")
+    dy = F.col("by") - F.col("ay")
+    return (
+        a.join(b.hint("shuffle_hash"), "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("dist2", dx * dx + dy * dy)
+        .filter(F.col("dist2") <= d2)
+        .select("a_id", "b_id", "dist2")
+    )
+
+
+def oracle_point_pairs_sql(distance_m: float = 25.0) -> str:
+    """Bbox-range self-join (different pruning than the cell ring — the
+    match is evidence the single-join pairing is exact)."""
+    d = float(distance_m)
+    return f"""
+SELECT a.objectid AS a_id, b.objectid AS b_id,
+       (b.px - a.px) * (b.px - a.px) + (b.py - a.py) * (b.py - a.py) AS dist2
+FROM addrpnts a JOIN addrpnts b
+  ON b.objectid > a.objectid
+ AND b.px BETWEEN a.px - {d} AND a.px + {d}
+ AND b.py BETWEEN a.py - {d} AND a.py + {d}
+WHERE (b.px - a.px) * (b.px - a.px) + (b.py - a.py) * (b.py - a.py) <= {d * d}"""
+
+
+def segment_intersections(
+    roads: DataFrame, cell_size: float = DEFAULT_CELL_SIZE
+) -> DataFrame:
+    """Line-line intersection SELF-join over road segments — the
+    topology primitive (crossing detection / planarization input).
+    Returns (a_id, b_id) with a_id < b_id for every pair of segments
+    that intersect (properly or touching), by the classic orientation
+    test: AB and CD intersect iff the signed areas put C,D on opposite
+    (or boundary) sides of AB AND A,B likewise for CD, with the
+    collinear case restricted by bbox overlap. All double arithmetic,
+    identical expression shapes engine-side and oracle-side.
+
+    Plan: both sides explode to their bbox cell cover (ring 0); pairs
+    sharing ANY cover cell are candidates, de-duplicated with ONE
+    distinct on (a_id, b_id) BEFORE the O(1) predicate — the join ships
+    only ids+coords. Cover overlap is a superset of bbox overlap, which
+    is a superset of intersection, so the candidate set is lossless.
+    Shuffle keys are cell ids (bounded cover per segment ≈ bbox/cell²),
+    then the pair key; nothing quadratic outside a cell."""
+    seg = roads.select(F.col("objectid").alias("sid"), "x1", "y1", "x2", "y2")
+    cov = segment_bbox_cover(seg, cell_size=cell_size, ring=0)
+    a = cov.select(
+        F.col("sid").alias("a_id"), F.col("x1").alias("ax1"),
+        F.col("y1").alias("ay1"), F.col("x2").alias("ax2"),
+        F.col("y2").alias("ay2"), "cell",
+    )
+    b = cov.select(
+        F.col("sid").alias("b_id"), F.col("x1").alias("bx1"),
+        F.col("y1").alias("by1"), F.col("x2").alias("bx2"),
+        F.col("y2").alias("by2"), "cell",
+    )
+    cand = (
+        a.join(b.hint("shuffle_hash"), "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .drop("cell")
+        .distinct()
+    )
+
+    def orient(ox, oy, px_, py_, qx, qy):
+        return (px_ - ox) * (qy - oy) - (py_ - oy) * (qx - ox)
+
+    c = F.col
+    o1 = orient(c("ax1"), c("ay1"), c("ax2"), c("ay2"), c("bx1"), c("by1"))
+    o2 = orient(c("ax1"), c("ay1"), c("ax2"), c("ay2"), c("bx2"), c("by2"))
+    o3 = orient(c("bx1"), c("by1"), c("bx2"), c("by2"), c("ax1"), c("ay1"))
+    o4 = orient(c("bx1"), c("by1"), c("bx2"), c("by2"), c("ax2"), c("ay2"))
+    bbox = (
+        (F.least(c("ax1"), c("ax2")) <= F.greatest(c("bx1"), c("bx2")))
+        & (F.greatest(c("ax1"), c("ax2")) >= F.least(c("bx1"), c("bx2")))
+        & (F.least(c("ay1"), c("ay2")) <= F.greatest(c("by1"), c("by2")))
+        & (F.greatest(c("ay1"), c("ay2")) >= F.least(c("by1"), c("by2")))
+    )
+    hit = (o1 * o2 <= 0.0) & (o3 * o4 <= 0.0) & bbox
+    return cand.filter(hit).select("a_id", "b_id")
+
+
+def intersection_gate_corpus(roads: DataFrame, every: int = 7) -> DataFrame:
+    """Deterministic crossing-augmented corpus for the intersection gate
+    entry: the derived road grid is DISJOINT by construction (zero
+    bbox-overlapping pairs — measured), so gating segment_intersections
+    on it alone would be vacuous (the lsh_gate_corpus lesson). Every
+    `every`-th segment gets a PERPENDICULAR clone through its midpoint
+    (endpoints mid ∓ (−dy, dx)/2) — guaranteed to cross its source.
+    Pure shared-dialect arithmetic; the oracle rebuilds the identical
+    rows in SQL."""
+    c = F.col
+    src = roads.select("objectid", "x1", "y1", "x2", "y2")
+    mx = (c("x1") + c("x2")) / 2.0
+    my = (c("y1") + c("y2")) / 2.0
+    dx = c("x2") - c("x1")
+    dy = c("y2") - c("y1")
+    clones = src.filter(F.pmod(c("objectid"), F.lit(every)) == 0).select(
+        (c("objectid") + F.lit(10_000_000)).alias("objectid"),
+        (mx - dy / 2.0).alias("x1"),
+        (my + dx / 2.0).alias("y1"),
+        (mx + dy / 2.0).alias("x2"),
+        (my - dx / 2.0).alias("y2"),
+    )
+    return src.unionByName(clones)
+
+
+def oracle_intersection_corpus_cte(every: int = 7) -> str:
+    """CTE `aug_roads` = roads + the perpendicular clones (requires the
+    roads CTE in scope). Same arithmetic as intersection_gate_corpus."""
+    return f"""
+aug_roads AS (
+  SELECT objectid, x1, y1, x2, y2 FROM roads
+  UNION ALL
+  SELECT objectid + 10000000 AS objectid,
+         (x1 + x2) / 2.0 - (y2 - y1) / 2.0 AS x1,
+         (y1 + y2) / 2.0 + (x2 - x1) / 2.0 AS y1,
+         (x1 + x2) / 2.0 + (y2 - y1) / 2.0 AS x2,
+         (y1 + y2) / 2.0 - (x2 - x1) / 2.0 AS y2
+  FROM roads WHERE objectid % {every} = 0
+)"""
+
+
+def oracle_segment_intersections_sql(src: str = "roads") -> str:
+    """Bbox-overlap candidate self-join + the SAME orientation test.
+    least/greatest are materialized in a CTE first: inlining them into
+    the inequality-join ON clause trips a DuckDB IEJoin internal
+    assertion ("requires a flat vector")."""
+
+    def orient(ox, oy, px_, py_, qx, qy):
+        return f"(({px_} - {ox}) * ({qy} - {oy}) - ({py_} - {oy}) * ({qx} - {ox}))"
+
+    o1 = orient("a.x1", "a.y1", "a.x2", "a.y2", "b.x1", "b.y1")
+    o2 = orient("a.x1", "a.y1", "a.x2", "a.y2", "b.x2", "b.y2")
+    o3 = orient("b.x1", "b.y1", "b.x2", "b.y2", "a.x1", "a.y1")
+    o4 = orient("b.x1", "b.y1", "b.x2", "b.y2", "a.x2", "a.y2")
+    return f"""
+ix_segs AS (
+  SELECT objectid, x1, y1, x2, y2,
+         least(x1, x2) AS xlo, greatest(x1, x2) AS xhi,
+         least(y1, y2) AS ylo, greatest(y1, y2) AS yhi
+  FROM {src}
+)
+SELECT a.objectid AS a_id, b.objectid AS b_id
+FROM ix_segs a JOIN ix_segs b
+  ON a.xlo <= b.xhi AND a.xhi >= b.xlo
+ AND a.ylo <= b.yhi AND a.yhi >= b.ylo
+ AND b.objectid > a.objectid
+WHERE {o1} * {o2} <= 0.0 AND {o3} * {o4} <= 0.0"""
 
 
 def road_sides(geocode_roads: DataFrame) -> DataFrame:

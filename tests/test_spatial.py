@@ -178,6 +178,25 @@ def test_grouped_knn_equals_column_knn(spark):
     )
 
 
+def test_hex_knn_equals_square_grid(spark):
+    """Hex-index kNN (VERDICT r4 #7) must produce the identical
+    (point_id, road_id, rank, dist2) set as the square-grid join at
+    matched resolution — the hex cover + residual is lossless, so cell
+    geometry must not leak into the answer. Checked at k=3 and at the
+    k=1 aggregate path."""
+    roads = datagen.derive_roads(spark, SF_DIR)
+    pnts = datagen.derive_addrpnts(spark, SF_DIR)
+    cols = ["point_id", "road_id", "rank", "dist2"]
+    for k in (1, 3):
+        a = sj.knn_join(pnts, roads, k=k).select(*cols).toPandas()
+        b = sj.hex_knn(pnts, roads, k=k).select(*cols).toPandas()
+        pd.testing.assert_frame_equal(
+            a.sort_values(cols).reset_index(drop=True),
+            b.sort_values(cols).reset_index(drop=True),
+            check_exact=True,
+        )
+
+
 def test_choose_cell_size(spark):
     """Picks the finest lossless size under the occupancy target; a tiny
     target forces the coarsest size."""
