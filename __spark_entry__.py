@@ -4,8 +4,8 @@ entry(spark)   — flagship: derive SGID-shaped inputs from sf0.001, pack
                  them into the interleaved span-document substrate, unpack,
                  run the alias pipeline and the spatial geocode match.
 queries()      — one entry per implemented operator (SURVEY.md §2 plus the
-                 LLM-curation surface). 83 entries total.
-oracle_sql()   — DuckDB-equivalent SQL for EVERY one of the 83 queries:
+                 LLM-curation surface). 84 entries total.
+oracle_sql()   — DuckDB-equivalent SQL for EVERY one of the 84 queries:
                  hash-based ops ride the portable polynomial hash
                  (functions/phash.py), the media stub's md5 arithmetic is
                  reproduced in SQL, the approximate IVF entry runs a
@@ -158,6 +158,7 @@ GATE_HISTORY: dict[str, tuple[int, ...]] = {
     "point_pairs_within": (),
     "segment_intersections": (),
     "doc_media_stats": (),
+    "stream_tile_rollup": (),
 }
 
 
@@ -267,6 +268,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["stream_sessionize"] = lambda s, d: sgate.drained_sessionize(s, d)
     q["stream_geocode_match"] = lambda s, d: sgate.drained_geocode_match(s, d)
     q["stream_exact_dedup"] = lambda s, d: sgate.drained_exact_dedup(s, d)
+    # round-5: streaming incremental tile refresh (foreachBatch partial
+    # rasters, additive merge == batch rasterize)
+    q["stream_tile_rollup"] = lambda s, d: sgate.drained_tile_rollup(s, d)
 
     # -- multimodal (stubbed decode, real plumbing) ------------------------
     q["media_features"] = lambda s, d: (ship_package(s), media.extract_media_features(
@@ -582,6 +586,7 @@ def oracle_sql() -> dict[str, str]:
     zs_body, zs_ctes = _split_body(sp.oracle_zonal_stats_sql())
     o["zonal_stats"] = _with(zs_body, P, sp.ZONES_CTE, zs_ctes)
     o["rasterize_points"] = _with(sr.oracle_rasterize_points_sql(), P)
+    o["stream_tile_rollup"] = _with(sr.oracle_rasterize_points_sql(), P)
     o["threshold_regions"] = _with(
         *_split_body(sr.oracle_threshold_regions_sql(min_count=2)), P
     ).replace("WITH ", "WITH RECURSIVE ", 1)

@@ -225,6 +225,68 @@ def drained_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def drained_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-batch availableNow run of STREAMING incremental tile
+    refresh — the production shape for a continuously-updating density
+    raster (heatmap tiles over an arriving point feed): each micro-batch
+    aggregates its points to partial per-cell counts via foreachBatch
+    (idempotent parquet sink keyed by batch id, checkpointed), and the
+    serving merge is an additive sum by cell. Counts are additive, so
+    partial(b1) + partial(b2) + ... equals the batch rasterize EXACTLY,
+    independent of how the files were batched — the batch
+    rasterize_points oracle applies verbatim.
+
+    Scale: per-batch state is one map-side-combined aggregate over the
+    batch (no global state store — the raster IS the accumulated sink),
+    and the merge is a sum over rasters, thousands× smaller than the
+    points."""
+    from .. import datagen
+    from ..spatial.raster import rasterize_points
+
+    d = _tmpdir_removed_at_exit("rg_sgate_tile_")
+    src, out_dir, ckpt = (os.path.join(d, x) for x in ("src", "out", "ckpt"))
+    pnts = datagen.derive_addrpnts(spark, sf_dir)
+    (
+        pnts.select("objectid", "px", "py")
+        .repartition(3, "objectid")
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    stream = (
+        spark.readStream.schema("objectid long, px double, py double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def write_partial(batch_df: DataFrame, batch_id: int) -> None:
+        # overwrite-by-batch-id directory => re-run of a batch after a
+        # checkpoint recovery replaces rather than double-counts
+        (
+            rasterize_points(batch_df)
+            .select("cx", "cy", "n")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"batch_id={batch_id}"))
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(write_partial)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from ..spatial.cells import pack_cell
+
+    partials = spark.read.parquet(out_dir)
+    return (
+        partials.groupBy("cx", "cy")
+        .agg(F.sum("n").alias("n"))
+        .select(
+            pack_cell(F.col("cx"), F.col("cy")).alias("cell"), "cx", "cy", "n"
+        )
+    )
+
+
 ORACLE_STREAM_INTERVAL_JOIN = """
 SELECT l.event_id AS purchase_id, r.event_id AS click_id,
        l.user_id,

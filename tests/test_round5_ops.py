@@ -17,6 +17,7 @@ R5_NAMES = (
     "point_pairs_within",
     "segment_intersections",
     "doc_media_stats",
+    "stream_tile_rollup",
 )
 
 
