@@ -349,11 +349,52 @@ def _hex_qr_exprs(px: str, py: str, size: float) -> tuple[str, str]:
 
 
 def hex_cell_cols(px, py, size: float = DEFAULT_CELL_SIZE):
-    """(q, r) axial hex-cell Columns for point coordinates."""
+    """(q, r) axial hex-cell Columns for point coordinates.
+
+    Fine for AGGREGATE consumers (rasterize/neighborhood). Do NOT use the
+    result as a JOIN key: the join's inferred isnotnull(key) predicate is
+    pushed below upstream projections with the whole expression tree
+    substituted in — the hex expression duplicates its qf/rf subtrees
+    ~15×, and with derived inputs the pushed filter re-evaluates the
+    fully-inlined monster on every SOURCE row (measured 22 s vs 0.8 s at
+    sf0.1). Join paths use hex_pack_udf, which is opaque to pushdown."""
     from pyspark.sql import functions as F
 
     qs, rs = _hex_qr_exprs(str(px), str(py), size)
     return F.expr(qs), F.expr(rs)
+
+
+def hex_pack_udf(size: float = DEFAULT_CELL_SIZE):
+    """Packed hex cell id as a vectorized Arrow kernel — the JOIN-KEY
+    form of the hex assignment (see hex_cell_cols for why the expression
+    form must not be a join key). float64 op order mirrors
+    _hex_qr_exprs exactly (same multiplies/divides/floor(x+0.5)
+    half-up), so the ids are bit-identical to the SQL form — pinned by
+    tests (engine vs independent Python cube-round, and hex_knn's
+    DuckDB oracle)."""
+    s = np.float64(float(size))
+
+    @F.pandas_udf(LongType())
+    def _pack(px: pd.Series, py: pd.Series) -> pd.Series:
+        x = px.to_numpy(np.float64)
+        y = py.to_numpy(np.float64)
+        s3 = np.sqrt(np.float64(3.0)) / np.float64(3.0)
+        qf = (s3 * x - y / 3.0) / s
+        rf = ((2.0 * y) / 3.0) / s
+        xf, zf = qf, rf
+        yf = -qf - rf
+        rx = np.floor(xf + 0.5)
+        ry = np.floor(yf + 0.5)
+        rz = np.floor(zf + 0.5)
+        dx = np.abs(rx - xf)
+        dy = np.abs(ry - yf)
+        dz = np.abs(rz - zf)
+        fix_x = (dx > dy) & (dx > dz)
+        q = np.where(fix_x, -ry - rz, rx).astype(np.int64)
+        r = np.where(~fix_x & (dz >= dy), -rx - ry, rz).astype(np.int64)
+        return pd.Series(q * np.int64(PACK) + r + np.int64(CY_BIAS))
+
+    return _pack
 
 
 def hex_segment_cover(
@@ -385,11 +426,16 @@ def hex_segment_cover(
     x_hi = F.greatest(F.col("x1"), F.col("x2")) + p
     y_lo = F.least(F.col("y1"), F.col("y2")) - p
     y_hi = F.greatest(F.col("y1"), F.col("y2")) + p
-    hr_lo = F.floor(y_lo / r_pitch).cast("long") - 1
+    # centers at pitch*k ∈ [lo, hi] are k ∈ [ceil(lo/pitch),
+    # floor(hi/pitch)]; floor(lo)..floor(hi)+1 is that range with ≤1
+    # slack cell per side for fp boundary equality. A full ±1 ring on
+    # top of the pad (the first cut) nearly doubled each axis and blew
+    # the candidate set to 8× the square grid's — measured at sf0.1.
+    hr_lo = F.floor(y_lo / r_pitch).cast("long")
     hr_hi = F.floor(y_hi / r_pitch).cast("long") + 1
     with_r = roads.withColumn("_hr", F.explode(F.sequence(hr_lo, hr_hi)))
     # per-row q range depends on the exploded r (centers shear by r/2)
-    hq_lo = F.floor(x_lo / q_pitch - F.col("_hr") / 2.0).cast("long") - 1
+    hq_lo = F.floor(x_lo / q_pitch - F.col("_hr") / 2.0).cast("long")
     hq_hi = F.floor(x_hi / q_pitch - F.col("_hr") / 2.0).cast("long") + 1
     return (
         with_r.withColumn("_hq", F.explode(F.sequence(hq_lo, hq_hi)))

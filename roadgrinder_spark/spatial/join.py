@@ -215,12 +215,20 @@ def knn_join(
     )
 
 
+#: default hex size for the kNN join: hex WIDTH (sqrt(3)*size) equals the
+#: square grid pitch, so per-cell point density matches the square join's
+#: and the smaller pad (radius + size) keeps the candidate fanout
+#: comparable — with hexes at size=DEFAULT_CELL_SIZE the candidate set
+#: measured 8x the square grid's and 60M-point throughput dropped 5x.
+HEX_KNN_SIZE = DEFAULT_CELL_SIZE / 1.7320508075688772
+
+
 def hex_knn(
     points: DataFrame,
     roads: DataFrame,
     k: int = 1,
     radius_m: float = DEFAULT_RADIUS_M,
-    size: float = DEFAULT_CELL_SIZE,
+    size: float = HEX_KNN_SIZE,
 ) -> DataFrame:
     """kNN nearest-road on the HEX index (VERDICT r4 #7): same contract
     as knn_join, but candidates come from the axial hex-cell equi-join —
@@ -237,16 +245,26 @@ def hex_knn(
     Scale shape is the square-grid plan's: shuffle by hex cell id, hot
     downtown hexes are the same heavy-hitter keys (skew.salted_cell_join
     composes — the salt is on the packed cell)."""
-    from .cells import hex_cell_cols, hex_segment_cover, pack_cell
+    from .cells import CY_BIAS, PACK, hex_pack_udf, hex_segment_cover
 
-    hq, hr = hex_cell_cols("px", "py", size)
+    # the packed hex id comes from the Arrow numpy kernel, NOT the
+    # expression columns: a join key's inferred isnotnull() predicate is
+    # pushed below upstream projections with the key expression
+    # substituted in, and the hex expression re-inlined into a filter
+    # over the raw source rows ran 22 s vs 0.8 s at sf0.1 (the
+    # dist2-in-residual lesson in its pushdown form). The UDF output is
+    # opaque to pushdown; hq/hr unpack from the id with exact integer
+    # arithmetic (hr + CY_BIAS ∈ [0, PACK) makes floor division exact).
     pts = points.select(
         F.col("objectid").alias("point_id"),
         "px",
         "py",
-        hq.alias("hq"),
-        hr.alias("hr"),
-    ).withColumn("hcell", pack_cell(F.col("hq"), F.col("hr")))
+        hex_pack_udf(size)(F.col("px"), F.col("py")).alias("hcell"),
+    ).withColumn(
+        "hq", F.floor(F.col("hcell") / F.lit(PACK)).cast("long")
+    ).withColumn(
+        "hr", (F.col("hcell") - F.col("hq") * F.lit(PACK) - F.lit(CY_BIAS)).cast("long")
+    )
     cover = hex_segment_cover(
         roads.select(F.col("objectid").alias("road_id"), "x1", "y1", "x2", "y2"),
         size=size,
@@ -279,7 +297,7 @@ def hex_knn(
 def oracle_hex_knn_sql(
     k: int = 1,
     radius_m: float = DEFAULT_RADIUS_M,
-    size: float = DEFAULT_CELL_SIZE,
+    size: float = HEX_KNN_SIZE,
 ) -> str:
     """DuckDB oracle for hex_knn: bbox-range candidate join (a different
     pruning than the hex cover — agreement is evidence the cover is
@@ -352,8 +370,12 @@ def point_pairs_within(
     d2 = F.lit(float(distance_m) ** 2)
     dx = F.col("bx") - F.col("ax")
     dy = F.col("by") - F.col("ay")
+    # build the per-partition hash relation from the UNEXPLODED side —
+    # it is 9× smaller than the ring side by construction. Hinting the
+    # ring side OOMed the build at 6.9M points ("can't acquire 128 MB
+    # for hash relation"); the a-side build scales with N, not 9N.
     return (
-        a.join(b.hint("shuffle_hash"), "cell")
+        a.hint("shuffle_hash").join(b, "cell")
         .filter(F.col("a_id") < F.col("b_id"))
         .withColumn("dist2", dx * dx + dy * dy)
         .filter(F.col("dist2") <= d2)
@@ -406,8 +428,13 @@ def segment_intersections(
         F.col("y1").alias("by1"), F.col("x2").alias("bx2"),
         F.col("y2").alias("by2"), "cell",
     )
+    # no join-strategy hint: both cover sides have identical cardinality
+    # and grow with the corpus, so the scale-safe plan is whatever the
+    # planner picks (sort-merge once neither side fits a per-partition
+    # hash build) — unlike knn_join, where the cover side is bounded by
+    # the road network and shuffle_hash measured faster.
     cand = (
-        a.join(b.hint("shuffle_hash"), "cell")
+        a.join(b, "cell")
         .filter(F.col("a_id") < F.col("b_id"))
         .drop("cell")
         .distinct()
