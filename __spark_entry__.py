@@ -4,8 +4,8 @@ entry(spark)   — flagship: derive SGID-shaped inputs from sf0.001, pack
                  them into the interleaved span-document substrate, unpack,
                  run the alias pipeline and the spatial geocode match.
 queries()      — one entry per implemented operator (SURVEY.md §2 plus the
-                 LLM-curation surface). 84 entries total.
-oracle_sql()   — DuckDB-equivalent SQL for EVERY one of the 84 queries:
+                 LLM-curation surface). 85 entries total.
+oracle_sql()   — DuckDB-equivalent SQL for EVERY one of the 85 queries:
                  hash-based ops ride the portable polynomial hash
                  (functions/phash.py), the media stub's md5 arithmetic is
                  reproduced in SQL, the approximate IVF entry runs a
@@ -159,6 +159,7 @@ GATE_HISTORY: dict[str, tuple[int, ...]] = {
     "segment_intersections": (),
     "doc_media_stats": (),
     "stream_tile_rollup": (),
+    "adaptive_tiles": (),
 }
 
 
@@ -352,6 +353,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sc.hex_rasterize(_pnts(s, d))
     )
     q["quadkey_tiles"] = lambda s, d: sc.quadkey_tiles(_pnts(s, d), level=22)
+    # quadtree refinement: dense coarse tiles split into fine children
+    # (threshold 700 leaves a real keep/split mix at both gate SFs)
+    q["adaptive_tiles"] = lambda s, d: sc.adaptive_tile_index(
+        _pnts(s, d), coarse=20, fine=22, split_threshold=700
+    )
     q["point_pairs_within"] = lambda s, d: sj.point_pairs_within(
         _pnts(s, d), distance_m=25.0
     )
@@ -726,6 +732,11 @@ def oracle_sql() -> dict[str, str]:
         *_split_body(sc.oracle_hex_neighborhood_sql()), P
     )
     o["quadkey_tiles"] = _with(sc.oracle_quadkey_tiles_sql(level=22), P)
+    o["adaptive_tiles"] = _with(
+        *_split_body(sc.oracle_adaptive_tiles_sql(
+            coarse=20, fine=22, split_threshold=700
+        )), P,
+    )
     o["point_pairs_within"] = _with(
         sj.oracle_point_pairs_sql(distance_m=25.0), P
     )

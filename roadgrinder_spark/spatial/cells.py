@@ -529,6 +529,76 @@ def oracle_quadkey_tiles_sql(
     )
 
 
+def adaptive_tile_index(
+    points: DataFrame,
+    coarse: int = 18,
+    fine: int = 22,
+    split_threshold: int = 10_000,
+    cell_size: float = DEFAULT_CELL_SIZE,
+) -> DataFrame:
+    """Quadtree-refined tile index: coarse tiles whose point count
+    exceeds `split_threshold` are split into their observed fine-level
+    children; the rest stay coarse. Returns (qk, level, n) — the
+    adaptive partitioning layer for skewed point sets (dense downtown
+    tiles get fine cells, empty desert stays coarse), i.e. the index a
+    balanced spatial-shuffle or a tile server would key on.
+
+    Plan: ONE fine-level hash aggregate (the only pass over the points),
+    a substring re-aggregate to the coarse level, and a broadcast
+    semi/anti join of the fine counts against the (tiny — bounded by
+    distinct coarse tiles) split set. Because every prefix rollup is
+    exact (quadkey property), the adaptive index is a pure function of
+    the fine raster — no second scan of the points at any scale."""
+    if not 1 <= coarse < fine <= 26:
+        raise ValueError(f"need 1 <= coarse < fine <= 26, got {coarse},{fine}")
+    fine_tiles = quadkey_tiles(points, level=fine, cell_size=cell_size)
+    coarse_tiles = (
+        fine_tiles.groupBy(F.substring("qk", 1, coarse).alias("qk"))
+        .agg(F.sum("n").alias("n"))
+    )
+    split = coarse_tiles.filter(F.col("n") > split_threshold).select(
+        F.col("qk").alias("pref")
+    )
+    keep_coarse = (
+        coarse_tiles.filter(F.col("n") <= split_threshold)
+        .select("qk", F.lit(coarse).alias("level"), "n")
+    )
+    refined = (
+        fine_tiles.join(
+            F.broadcast(split),
+            F.substring(F.col("qk"), 1, coarse) == F.col("pref"),
+            "left_semi",
+        )
+        .select("qk", F.lit(fine).alias("level"), "n")
+    )
+    return keep_coarse.unionByName(refined)
+
+
+def oracle_adaptive_tiles_sql(
+    coarse: int = 18,
+    fine: int = 22,
+    split_threshold: int = 10_000,
+    cell_size: float = DEFAULT_CELL_SIZE,
+) -> str:
+    qk = quadkey_sql("px", "py", fine, cell_size)
+    # inner SELECTs are indented: the gate's _split_body helper treats
+    # the last column-0 "\nSELECT" as the statement body
+    return f"""
+at_fine AS (SELECT {qk} AS qk, count(*) AS n FROM addrpnts GROUP BY 1),
+at_coarse AS (
+  SELECT substring(qk, 1, {coarse}) AS qk, CAST(sum(n) AS BIGINT) AS n
+  FROM at_fine GROUP BY 1
+),
+at_out AS (
+  SELECT qk, {coarse} AS level, n FROM at_coarse WHERE n <= {split_threshold}
+  UNION ALL
+  SELECT f.qk, {fine} AS level, f.n FROM at_fine f
+  WHERE substring(f.qk, 1, {coarse}) IN
+        (SELECT qk FROM at_coarse WHERE n > {split_threshold})
+)
+SELECT qk, level, n FROM at_out"""
+
+
 #: axial offsets of a hex cell's 1-ring (the 6 neighbours) + itself —
 #: shared between the Spark explode and the DuckDB VALUES list
 HEX_RING1 = ((0, 0), (1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1))

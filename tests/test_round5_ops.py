@@ -18,6 +18,7 @@ R5_NAMES = (
     "segment_intersections",
     "doc_media_stats",
     "stream_tile_rollup",
+    "adaptive_tiles",
 )
 
 
