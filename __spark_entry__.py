@@ -4,8 +4,8 @@ entry(spark)   — flagship: derive SGID-shaped inputs from sf0.001, pack
                  them into the interleaved span-document substrate, unpack,
                  run the alias pipeline and the spatial geocode match.
 queries()      — one entry per implemented operator (SURVEY.md §2 plus the
-                 LLM-curation surface). 85 entries total.
-oracle_sql()   — DuckDB-equivalent SQL for EVERY one of the 85 queries:
+                 LLM-curation surface). 86 entries total.
+oracle_sql()   — DuckDB-equivalent SQL for EVERY one of the 86 queries:
                  hash-based ops ride the portable polynomial hash
                  (functions/phash.py), the media stub's md5 arithmetic is
                  reproduced in SQL, the approximate IVF entry runs a
@@ -160,6 +160,7 @@ GATE_HISTORY: dict[str, tuple[int, ...]] = {
     "doc_media_stats": (),
     "stream_tile_rollup": (),
     "adaptive_tiles": (),
+    "assign_adaptive": (),
 }
 
 
@@ -356,6 +357,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # quadtree refinement: dense coarse tiles split into fine children
     # (threshold 700 leaves a real keep/split mix at both gate SFs)
     q["adaptive_tiles"] = lambda s, d: sc.adaptive_tile_index(
+        _pnts(s, d), coarse=20, fine=22, split_threshold=700
+    )
+    # the companion hierarchical prefix join: point -> its adaptive tile
+    q["assign_adaptive"] = lambda s, d: sc.assign_adaptive_tiles(
         _pnts(s, d), coarse=20, fine=22, split_threshold=700
     )
     q["point_pairs_within"] = lambda s, d: sj.point_pairs_within(
@@ -734,6 +739,11 @@ def oracle_sql() -> dict[str, str]:
     o["quadkey_tiles"] = _with(sc.oracle_quadkey_tiles_sql(level=22), P)
     o["adaptive_tiles"] = _with(
         *_split_body(sc.oracle_adaptive_tiles_sql(
+            coarse=20, fine=22, split_threshold=700
+        )), P,
+    )
+    o["assign_adaptive"] = _with(
+        *_split_body(sc.oracle_assign_adaptive_sql(
             coarse=20, fine=22, split_threshold=700
         )), P,
     )

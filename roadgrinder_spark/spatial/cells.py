@@ -599,6 +599,66 @@ at_out AS (
 SELECT qk, level, n FROM at_out"""
 
 
+def assign_adaptive_tiles(
+    points: DataFrame,
+    coarse: int = 18,
+    fine: int = 22,
+    split_threshold: int = 10_000,
+    cell_size: float = DEFAULT_CELL_SIZE,
+) -> DataFrame:
+    """Point → adaptive-tile assignment (the hierarchical prefix join
+    that closes the adaptive_tile_index loop): each point lands in its
+    fine tile when its coarse ancestor was split, else in the coarse
+    tile. Returns (point_id, qk, level).
+
+    Plan: the point's fine quadkey is ONE Project; membership in the
+    split set is a broadcast LEFT SEMI-shaped lookup realized as a
+    broadcast left join + CASE (the split set is bounded by the number
+    of dense coarse tiles — corpus_points / split_threshold — tiny at
+    any scale); no second pass over the points beyond the index build's
+    own aggregate."""
+    idx = adaptive_tile_index(points, coarse, fine, split_threshold, cell_size)
+    split = idx.filter(F.col("level") == fine).select(
+        F.substring("qk", 1, coarse).alias("pref")
+    ).distinct()
+    qk = quadkey_col("px", "py", fine, cell_size)
+    pts = points.select(
+        F.col("objectid").alias("point_id"), qk.alias("qk_fine")
+    ).withColumn("pref", F.substring("qk_fine", 1, coarse))
+    joined = pts.join(
+        F.broadcast(split.withColumn("_split", F.lit(True))), "pref", "left"
+    )
+    return joined.select(
+        "point_id",
+        F.when(F.col("_split"), F.col("qk_fine")).otherwise(F.col("pref")).alias("qk"),
+        F.when(F.col("_split"), F.lit(fine)).otherwise(F.lit(coarse)).alias("level"),
+    )
+
+
+def oracle_assign_adaptive_sql(
+    coarse: int = 18,
+    fine: int = 22,
+    split_threshold: int = 10_000,
+    cell_size: float = DEFAULT_CELL_SIZE,
+) -> str:
+    qk = quadkey_sql("px", "py", fine, cell_size)
+    return f"""
+aa_fine AS (SELECT {qk} AS qk, count(*) AS n FROM addrpnts GROUP BY 1),
+aa_coarse AS (
+  SELECT substring(qk, 1, {coarse}) AS qk, CAST(sum(n) AS BIGINT) AS n
+  FROM aa_fine GROUP BY 1
+),
+aa_split AS (SELECT qk FROM aa_coarse WHERE n > {split_threshold}),
+aa_pts AS (
+  SELECT objectid AS point_id, {qk} AS qk_fine FROM addrpnts
+)
+SELECT p.point_id,
+       CASE WHEN s.qk IS NOT NULL THEN p.qk_fine
+            ELSE substring(p.qk_fine, 1, {coarse}) END AS qk,
+       CASE WHEN s.qk IS NOT NULL THEN {fine} ELSE {coarse} END AS level
+FROM aa_pts p LEFT JOIN aa_split s ON substring(p.qk_fine, 1, {coarse}) = s.qk"""
+
+
 #: axial offsets of a hex cell's 1-ring (the 6 neighbours) + itself —
 #: shared between the Spark explode and the DuckDB VALUES list
 HEX_RING1 = ((0, 0), (1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1))

@@ -19,6 +19,7 @@ R5_NAMES = (
     "doc_media_stats",
     "stream_tile_rollup",
     "adaptive_tiles",
+    "assign_adaptive",
 )
 
 
