@@ -345,9 +345,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # kNN over the axial HEX index (VERDICT r4 #7) — hex cells as a
     # first-class join key, not just a rasterize feature; result equals
     # the square-grid kNN (pinned in tests/test_spatial.py)
-    q["hex_knn"] = lambda s, d: (ship_package(s), sj.hex_knn(
-        _pnts(s, d), _roads(s, d), k=3
-    ))[1]
+    q["hex_knn"] = lambda s, d: sj.hex_knn(_pnts(s, d), _roads(s, d), k=3)
     # round-5 spatial surface: hex focal smoothing, web-map quadkey
     # tiles, distance-band pairs, topology intersections
     q["hex_neighborhood"] = lambda s, d: sc.hex_neighborhood(

@@ -365,13 +365,15 @@ def hex_cell_cols(px, py, size: float = DEFAULT_CELL_SIZE):
 
 
 def hex_pack_udf(size: float = DEFAULT_CELL_SIZE):
-    """Packed hex cell id as a vectorized Arrow kernel — the JOIN-KEY
-    form of the hex assignment (see hex_cell_cols for why the expression
-    form must not be a join key). float64 op order mirrors
-    _hex_qr_exprs exactly (same multiplies/divides/floor(x+0.5)
-    half-up), so the ids are bit-identical to the SQL form — pinned by
-    tests (engine vs independent Python cube-round, and hex_knn's
-    DuckDB oracle)."""
+    """Packed hex cell id as a vectorized Arrow kernel. float64 op order
+    mirrors _hex_qr_exprs exactly (same multiplies/divides/floor(x+0.5)
+    half-up), so ids are bit-identical to the expression form — pinned
+    by tests/test_round5_ops.py::test_hex_kernel_equals_expression.
+    hex_knn itself stays JVM-side via a null-safe equality join (the
+    better fix for the pushdown trap — see hex_cell_cols); this kernel
+    is the alternative when a plan needs the id as a plain equi-join
+    key or a partitioning column that must not be substituted into
+    pushed predicates."""
     s = np.float64(float(size))
 
     @F.pandas_udf(LongType())

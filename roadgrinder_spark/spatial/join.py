@@ -245,32 +245,33 @@ def hex_knn(
     Scale shape is the square-grid plan's: shuffle by hex cell id, hot
     downtown hexes are the same heavy-hitter keys (skew.salted_cell_join
     composes — the salt is on the packed cell)."""
-    from .cells import CY_BIAS, PACK, hex_pack_udf, hex_segment_cover
+    from .cells import hex_cell_cols, hex_segment_cover, pack_cell
 
-    # the packed hex id comes from the Arrow numpy kernel, NOT the
-    # expression columns: a join key's inferred isnotnull() predicate is
-    # pushed below upstream projections with the key expression
-    # substituted in, and the hex expression re-inlined into a filter
-    # over the raw source rows ran 22 s vs 0.8 s at sf0.1 (the
-    # dist2-in-residual lesson in its pushdown form). The UDF output is
-    # opaque to pushdown; hq/hr unpack from the id with exact integer
-    # arithmetic (hr + CY_BIAS ∈ [0, PACK) makes floor division exact).
+    # the candidate join uses NULL-SAFE equality (<=>) on the packed hex
+    # id: a plain equi-join infers isnotnull(key) and pushes it below
+    # the upstream projections with the key EXPRESSION substituted in —
+    # the hex tree (which duplicates its qf/rf subtrees ~15×) then gets
+    # re-evaluated on every raw source row: 22 s vs 1.7 s for the same
+    # join at sf0.1 (BASELINE.md lesson 9). eqNullSafe suppresses the
+    # inference, keeping the id evaluated ONCE in its Project, fully
+    # JVM-side. Null keys cannot produce spurious matches: the cover
+    # side never emits a null id (null bounds explode to zero rows).
+    hq, hr = hex_cell_cols("px", "py", size)
     pts = points.select(
         F.col("objectid").alias("point_id"),
         "px",
         "py",
-        hex_pack_udf(size)(F.col("px"), F.col("py")).alias("hcell"),
-    ).withColumn(
-        "hq", F.floor(F.col("hcell") / F.lit(PACK)).cast("long")
-    ).withColumn(
-        "hr", (F.col("hcell") - F.col("hq") * F.lit(PACK) - F.lit(CY_BIAS)).cast("long")
-    )
+        hq.alias("hq"),
+        hr.alias("hr"),
+    ).withColumn("hcell", pack_cell(F.col("hq"), F.col("hr")))
     cover = hex_segment_cover(
         roads.select(F.col("objectid").alias("road_id"), "x1", "y1", "x2", "y2"),
         size=size,
         pad=float(radius_m) + float(size),
-    ).hint("shuffle_hash")
-    cand = with_dist2(pts.join(cover, "hcell"))
+    ).withColumnRenamed("hcell", "hcell_r").hint("shuffle_hash")
+    cand = with_dist2(
+        pts.join(cover, F.col("hcell").eqNullSafe(F.col("hcell_r"))).drop("hcell_r")
+    )
     r2 = F.lit(float(radius_m) ** 2)
     if k == 1:
         best = (

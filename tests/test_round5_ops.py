@@ -80,6 +80,25 @@ def test_quadkey_prefix_rollup_consistent(spark):
     )
 
 
+def test_hex_kernel_equals_expression(spark):
+    """The Arrow hex-id kernel must produce bit-identical packed ids to
+    the SQL-expression form at the hex_knn size (the kernel is the
+    alternative join-key path; see cells.hex_pack_udf)."""
+    from pyspark.sql import functions as F
+
+    from roadgrinder_spark import datagen
+    from roadgrinder_spark.spatial import cells as sc
+    from roadgrinder_spark.spatial.join import HEX_KNN_SIZE
+
+    pnts = datagen.derive_addrpnts(spark, SF_DIR)
+    hq, hr = sc.hex_cell_cols("px", "py", HEX_KNN_SIZE)
+    df = pnts.select(
+        sc.pack_cell(hq, hr).alias("expr_id"),
+        sc.hex_pack_udf(HEX_KNN_SIZE)(F.col("px"), F.col("py")).alias("udf_id"),
+    )
+    assert df.filter(F.col("expr_id") != F.col("udf_id")).count() == 0
+
+
 def test_quantile_label_endpoints_and_range():
     from roadgrinder_spark.operators.events import quantile_label
 
