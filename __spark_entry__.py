@@ -161,6 +161,11 @@ GATE_HISTORY: dict[str, tuple[int, ...]] = {
     "stream_tile_rollup": (),
     "adaptive_tiles": (),
     "assign_adaptive": (),
+    # round-5 wave 2
+    "bm25_topk": (),
+    "orphan_points": (),
+    "cluster_points": (),
+    "route_snap": (),
 }
 
 
@@ -369,6 +374,18 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["segment_intersections"] = lambda s, d: sj.segment_intersections(
         sj.intersection_gate_corpus(_roads(s, d))
     )
+    # round-5 wave 2: spatial anti-join (points with no road in radius),
+    # grid-density clustering (DBSCAN-shaped region assignment), and
+    # trajectory map-matching (pings -> nearest-road runs)
+    q["orphan_points"] = lambda s, d: sj.orphan_points(_pnts(s, d), _roads(s, d))
+    q["cluster_points"] = lambda s, d: sr.cluster_points(_pnts(s, d), min_count=2)
+
+    def _route_snap(s, d):
+        from roadgrinder_spark.spatial import trajectory as tj
+
+        return tj.route_snap(tj.derive_pings(s, d), _roads(s, d))
+
+    q["route_snap"] = _route_snap
     q["geocode_match"] = lambda s, d: sj.geocode_match(
         _pnts(s, d), rg.explode_aliases(_roads(s, d)).geocode_roads
     )
@@ -511,6 +528,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # defined over array-typed result columns
     q["text_embed_hashed"] = lambda s, d: T.hashed_ngram_embedding_rows(
         _docs(s, d)
+    )
+    # round-5 wave 2: Okapi BM25 ranked retrieval over a fixed query-term
+    # set (global top-k via TakeOrderedAndProject)
+    q["bm25_topk"] = lambda s, d: T.bm25_topk_docs(
+        _docs(s, d), list(T.GATE_BM25_TERMS), k=20
     )
     q["asof_join"] = lambda s, d: events.asof_join(_events(s, d))
     q["tfidf_topk"] = lambda s, d: T.tfidf_topk_terms(_docs(s, d), k=5)
@@ -744,6 +766,21 @@ def oracle_sql() -> dict[str, str]:
         *_split_body(sc.oracle_assign_adaptive_sql(
             coarse=20, fine=22, split_threshold=700
         )), P,
+    )
+    # round-5 wave 2
+    from roadgrinder_spark.spatial import trajectory as tj
+
+    o["bm25_topk"] = _with(
+        *_split_body(T.oracle_bm25_sql(list(T.GATE_BM25_TERMS), k=20))
+    )
+    o["orphan_points"] = _with(
+        *_split_body(sj.oracle_orphan_points_sql()), R, P
+    )
+    o["cluster_points"] = _with(
+        *_split_body(sr.oracle_cluster_points_sql(min_count=2)), P
+    ).replace("WITH ", "WITH RECURSIVE ", 1)
+    o["route_snap"] = _with(
+        *_split_body(tj.oracle_route_snap_sql()), R, tj.PINGS_CTE
     )
     o["point_pairs_within"] = _with(
         sj.oracle_point_pairs_sql(distance_m=25.0), P

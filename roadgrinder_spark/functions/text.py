@@ -771,3 +771,141 @@ SELECT doc_id, term, tf, df, score, rank FROM (
                                ORDER BY score DESC, term) AS rank
   FROM ti_scored
 ) WHERE rank <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring (round 5): the ranked-retrieval companion to
+# tfidf_topk_terms — Okapi BM25 with the standard k1/b shape, scored for a
+# fixed query-term set and reduced to the global top-k documents. The
+# retrieval primitive behind quality-targeted corpus selection ("pull the
+# docs most about X") in a training-data pipeline.
+#
+# Plan: explode -> per-doc term counts (one hash aggregate, map-side
+# combined) -> df of the query terms only (a handful of rows, broadcast) ->
+# per-doc score sum -> TakeOrderedAndProject for the global top-k (k rows
+# to the driver, never a global sort). The (doc, term) shuffle carries only
+# tokens matching the query terms: the filter lands before the aggregate,
+# so corpus-scale cost is O(matching postings), not O(all tokens).
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk_docs(
+    docs,
+    query_terms: list[str],
+    k: int = 20,
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+):
+    """Top-k docs by summed Okapi BM25 over `query_terms`.
+
+    score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+    with idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)); dl = whitespace token
+    count, avgdl its corpus mean. N/avgdl are two scalar probes (count +
+    one tiny aggregate). Returns (doc_id, n_hits, score, rank), score
+    rounded to 6 dp (ln within 1 ulp per engine, sum order absorbed by
+    the round — at most len(query_terms) addends per doc).
+
+    Ties broken by doc_id so both engines agree on the cut."""
+    from pyspark.sql import Window
+
+    terms = sorted(set(query_terms))
+    n_docs = float(docs.count())
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit(""))
+        ).alias("term"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    avgdl = float(dl.agg(F.avg("dl")).first()[0])
+    hits = toks.filter(F.col("term").isin(terms))
+    tf = hits.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = F.broadcast(
+        tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    )
+    scored = (
+        tf.join(df_, "term")
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.lit(n_docs) - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * (F.col("tf") * F.lit(float(k1) + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(float(k1))
+                    * (
+                        F.lit(1.0 - float(b))
+                        + F.lit(float(b)) * F.col("dl") / F.lit(avgdl)
+                    )
+                )
+            ).alias("s"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.round(F.sum("s"), 6).alias("score"),
+        )
+    )
+    topk = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return topk.withColumn("rank", F.row_number().over(w))
+
+
+def oracle_bm25_sql(
+    query_terms: list[str],
+    k: int = 20,
+    table: str = "documents",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> str:
+    """DuckDB spelling with the SAME expression shapes; N and avgdl are
+    scalar subqueries (BIGINT->DOUBLE casts equal the engine's floats:
+    counts are integers, and avg over BIGINT is the same IEEE mean both
+    engines compute pairwise-free at these scales... avgdl is compared
+    through the 6-dp round like every other derived double)."""
+    terms_sql = ", ".join("'" + t.replace("'", "''") + "'" for t in sorted(set(query_terms)))
+    return rf"""
+bm_tok AS (
+  SELECT d.doc_id, t.term FROM {table} d,
+       LATERAL (SELECT unnest(regexp_split_to_array(d.{text_col}, '\s+')) AS term) t
+  WHERE t.term <> ''
+),
+bm_dl AS (SELECT doc_id, count(*) AS dl FROM bm_tok GROUP BY doc_id),
+bm_n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM {table}),
+bm_avgdl AS (SELECT CAST(avg(dl) AS DOUBLE) AS avgdl FROM bm_dl),
+bm_tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM bm_tok
+  WHERE term IN ({terms_sql}) GROUP BY 1, 2
+),
+bm_df AS (SELECT term, count(*) AS df FROM bm_tf GROUP BY term),
+bm_scored AS (
+  SELECT f.doc_id, count(*) AS n_hits,
+         round(sum(
+           ln(1.0 + (n.n - d.df + 0.5) / (d.df + 0.5))
+           * (f.tf * {float(k1) + 1.0})
+           / (f.tf + {float(k1)} * ({1.0 - float(b)} + {float(b)} * l.dl / a.avgdl))
+         ), 6) AS score
+  FROM bm_tf f
+  JOIN bm_df d ON d.term = f.term
+  JOIN bm_dl l ON l.doc_id = f.doc_id
+  CROSS JOIN bm_n n CROSS JOIN bm_avgdl a
+  GROUP BY f.doc_id
+)
+SELECT doc_id, n_hits, score, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM bm_scored
+) WHERE rank <= {k}"""
+
+
+#: query-term set used by the gate entry (tests pin the same list)
+GATE_BM25_TERMS = ("spark", "join", "window")

@@ -831,3 +831,65 @@ FROM (
                  ELSE 0.5 END AS t_addr
   FROM gc_best
 )"""
+
+
+# ---------------------------------------------------------------------------
+# spatial anti-join (round 5): address points with NO road within the
+# match radius — the QA/exception report every geocoding pipeline ships
+# next to its match table (unmatchable points = bad coordinates or missing
+# network). Same candidate machinery as knn_join, reduced the other way.
+# ---------------------------------------------------------------------------
+
+def orphan_points(
+    points: DataFrame,
+    roads: DataFrame,
+    radius_m: float = DEFAULT_RADIUS_M,
+    cell_size: float = DEFAULT_CELL_SIZE,
+) -> DataFrame:
+    """(point_id, px, py) for every point with no segment within
+    radius_m. Plan: cell-cover candidate join (lossless for radius <=
+    cell_size, ring 1) → distinct matched point ids → LEFT ANTI against
+    the full point set. The anti-join is a hash join on the point id —
+    the matched-id set is a single BIGINT column, far below the point
+    payload the naive not-exists plan would re-shuffle."""
+    assert radius_m <= cell_size, "lossless pruning needs radius <= cell_size"
+    pts = points.select(
+        F.col("objectid").alias("point_id"),
+        "px",
+        "py",
+        point_cell(F.col("px"), F.col("py"), cell_size).alias("cell"),
+    )
+    cover = segment_bbox_cover(
+        roads.select(F.col("objectid").alias("road_id"), "x1", "y1", "x2", "y2"),
+        cell_size=cell_size,
+        ring=1,
+    ).hint("shuffle_hash")
+    matched = (
+        with_dist2(pts.join(cover, "cell"))
+        .filter(F.col("dist2") <= F.lit(float(radius_m) ** 2))
+        .select("point_id")
+        .distinct()
+    )
+    return pts.join(matched, "point_id", "left_anti").select(
+        "point_id", "px", "py"
+    )
+
+
+def oracle_orphan_points_sql(radius_m: float = DEFAULT_RADIUS_M) -> str:
+    """bbox-range candidate join (different pruning than the cell cover)
+    + identical dist², anti via left-join-null."""
+    r = float(radius_m)
+    return f"""
+orph_cand0 AS (
+  SELECT p.objectid AS point_id, p.px, p.py, r.x1, r.y1, r.x2, r.y2
+  FROM addrpnts p JOIN roads r
+    ON p.px BETWEEN (CASE WHEN r.x1 < r.x2 THEN r.x1 ELSE r.x2 END) - {r}
+               AND (CASE WHEN r.x1 > r.x2 THEN r.x1 ELSE r.x2 END) + {r}
+   AND p.py BETWEEN (CASE WHEN r.y1 < r.y2 THEN r.y1 ELSE r.y2 END) - {r}
+               AND (CASE WHEN r.y1 > r.y2 THEN r.y1 ELSE r.y2 END) + {r}
+),
+orph_cand AS ({dist2_select_sql('orph_cand0')}),
+orph_hit AS (SELECT DISTINCT point_id FROM orph_cand WHERE dist2 <= {r * r})
+SELECT p.objectid AS point_id, p.px, p.py
+FROM addrpnts p LEFT JOIN orph_hit h ON h.point_id = p.objectid
+WHERE h.point_id IS NULL"""

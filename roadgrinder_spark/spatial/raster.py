@@ -354,3 +354,73 @@ SELECT cx * {PACK} + cy + {CY_BIAS} AS cell, cx, cy, n FROM (
        LATERAL (SELECT unnest(range({-radius}, {radius} + 1)) AS dy) dy
   GROUP BY 1, 2
 )"""
+
+
+# ---------------------------------------------------------------------------
+# grid-density point clustering (round 5): the DBSCAN-shaped assignment —
+# points in cells meeting the density threshold inherit the connected
+# dense-region label (threshold_regions), everything else is noise. The
+# standard scalable approximation of density clustering on a cell index:
+# cluster structure comes from the raster (bounded state), and the final
+# labeling is one equi-join of the points against the (small) dense-cell
+# label table — no point-to-point pairs anywhere.
+# ---------------------------------------------------------------------------
+
+def cluster_points(
+    points: DataFrame,
+    min_count: int = 2,
+    cell_size: float = DEFAULT_CELL_SIZE,
+    **cc_kwargs,
+) -> DataFrame:
+    """(point_id, cell, region) — region = min cell id of the point's
+    connected dense-cell component, NULL for noise (cell below the
+    density threshold). Labels come from threshold_regions (distributed
+    CC hybrid); the per-point pass is a single left equi-join on the
+    packed cell id, broadcastable whenever the dense-region table is
+    bounded (dense cells << points by construction)."""
+    rast = rasterize_points(points, cell_size)
+    regions = threshold_regions(rast, min_count=min_count, **cc_kwargs)
+    cx, cy = cell_xy(F.col("px"), F.col("py"), cell_size)
+    pts = points.select(
+        F.col("objectid").alias("point_id"),
+        pack_cell(cx, cy).alias("cell"),
+    )
+    return pts.join(F.broadcast(regions), "cell", "left").select(
+        "point_id", "cell", "region"
+    )
+
+
+def oracle_cluster_points_sql(
+    cell_size: float = DEFAULT_CELL_SIZE, min_count: int = 2
+) -> str:
+    """threshold_regions' recursive-closure oracle + the point join.
+    Needs the addrpnts CTE in scope and a WITH RECURSIVE prefix; same
+    spec-not-scale caveat as oracle_threshold_regions_sql."""
+    return f"""
+tr_rast AS (
+  SELECT CAST(FLOOR(px / {cell_size}) AS BIGINT) AS cx,
+         CAST(FLOOR(py / {cell_size}) AS BIGINT) AS cy, count(*) AS n
+  FROM addrpnts GROUP BY 1, 2
+),
+tr_cells AS (
+  SELECT cx, cy, cx * {PACK} + cy + {CY_BIAS} AS cell
+  FROM tr_rast WHERE n >= {min_count}
+),
+tr_edges AS (
+  SELECT a.cell AS ca, b.cell AS cb
+  FROM tr_cells a JOIN tr_cells b
+    ON abs(a.cx - b.cx) + abs(a.cy - b.cy) = 1
+),
+tr_walk(cell, label) AS (
+  SELECT cell, cell FROM tr_cells
+  UNION
+  SELECT e.ca, w.label FROM tr_walk w JOIN tr_edges e ON e.cb = w.cell
+),
+tr_regions AS (SELECT cell, min(label) AS region FROM tr_walk GROUP BY cell)
+SELECT p.point_id, p.cell, r.region
+FROM (
+  SELECT objectid AS point_id,
+         CAST(FLOOR(px / {cell_size}) AS BIGINT) * {PACK}
+           + CAST(FLOOR(py / {cell_size}) AS BIGINT) + {CY_BIAS} AS cell
+  FROM addrpnts
+) p LEFT JOIN tr_regions r ON r.cell = p.cell"""
