@@ -166,6 +166,8 @@ GATE_HISTORY: dict[str, tuple[int, ...]] = {
     "orphan_points": (),
     "cluster_points": (),
     "route_snap": (),
+    "rasterize_segments": (),
+    "polyline_simplify": (),
 }
 
 
@@ -386,6 +388,22 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return tj.route_snap(tj.derive_pings(s, d), _roads(s, d))
 
     q["route_snap"] = _route_snap
+    # round-5 wave 2: line rasterization (Liang–Barsky clipped lengths
+    # per cell) and Douglas–Peucker simplification of the densified
+    # samples (applyInPandas kernel; collinear chains → chord endpoints,
+    # the exactly-SQL-statable case — jittered geometry is pinned by the
+    # pytest against an independent reference DP)
+    q["rasterize_segments"] = lambda s, d: sr.rasterize_segments(_roads(s, d))
+
+    def _simplify(s, d):
+        from roadgrinder_spark.spatial import simplify as ssim
+
+        ship_package(s)
+        return ssim.polyline_simplify(
+            sc.segment_sample(_roads(s, d), spacing=50.0), tolerance=1.0
+        )
+
+    q["polyline_simplify"] = _simplify
     q["geocode_match"] = lambda s, d: sj.geocode_match(
         _pnts(s, d), rg.explode_aliases(_roads(s, d)).geocode_roads
     )
@@ -781,6 +799,19 @@ def oracle_sql() -> dict[str, str]:
     ).replace("WITH ", "WITH RECURSIVE ", 1)
     o["route_snap"] = _with(
         *_split_body(tj.oracle_route_snap_sql()), R, tj.PINGS_CTE
+    )
+    o["rasterize_segments"] = _with(
+        *_split_body(sr.oracle_rasterize_segments_sql()), R
+    )
+    from roadgrinder_spark.spatial import simplify as ssim
+
+    _ss_body, _ss_ctes = _split_body(sc.oracle_segment_sample_sql(spacing=50.0))
+    o["polyline_simplify"] = _with(
+        *_split_body(
+            f"{_ss_ctes}, ss_pts AS ({_ss_body}),\n"
+            + ssim.oracle_simplify_collinear_sql("ss_pts")
+        ),
+        R,
     )
     o["point_pairs_within"] = _with(
         sj.oracle_point_pairs_sql(distance_m=25.0), P

@@ -424,3 +424,162 @@ FROM (
            + CAST(FLOOR(py / {cell_size}) AS BIGINT) + {CY_BIAS} AS cell
   FROM addrpnts
 ) p LEFT JOIN tr_regions r ON r.cell = p.cell"""
+
+
+# ---------------------------------------------------------------------------
+# line rasterization (round 5): clip every road segment to each grid cell
+# it covers (Liang–Barsky parametric clipping as pure column arithmetic)
+# and roll up per-cell network length — the road-density raster behind
+# coverage maps and per-tile travel statistics. The vector→raster
+# companion of rasterize_points for LINE features: exact clipped lengths,
+# not just bbox-cover counts.
+# ---------------------------------------------------------------------------
+
+def rasterize_segments(
+    roads: DataFrame, cell_size: float = DEFAULT_CELL_SIZE
+) -> DataFrame:
+    """(cell, cx, cy, n_segs, length_m) — n_segs = segments with positive
+    clipped length in the cell, length_m = their summed clipped length,
+    rounded to 6 dp (the round absorbs aggregation-order ulps; addends
+    per cell are bounded by the local network density).
+
+    Plan: bbox cell cover (ring 0, sequence+explode — stays in codegen)
+    → parametric clip per (segment, cell): t-interval of the segment
+    inside the cell via per-axis entry/exit parameters (the Liang–Barsky
+    interval; axis-parallel segments short-circuit to [0,1] on their
+    degenerate axis, which is exact because a zero-extent axis pins the
+    cover to the segment's own cell column/row) → one hash aggregate
+    keyed by cell. Shuffle carries (cell, clip_len) only."""
+    s = float(cell_size)
+    c = F.col
+    seg = roads.select(
+        F.col("objectid").alias("sid"), "x1", "y1", "x2", "y2"
+    )
+    cov = (
+        seg.withColumn(
+            "_cx",
+            F.explode(
+                F.sequence(
+                    F.floor(F.least(c("x1"), c("x2")) / s).cast("long"),
+                    F.floor(F.greatest(c("x1"), c("x2")) / s).cast("long"),
+                )
+            ),
+        )
+        .withColumn(
+            "_cy",
+            F.explode(
+                F.sequence(
+                    F.floor(F.least(c("y1"), c("y2")) / s).cast("long"),
+                    F.floor(F.greatest(c("y1"), c("y2")) / s).cast("long"),
+                )
+            ),
+        )
+    )
+    # staged exactly like the oracle's nested SELECTs: same IEEE op order
+    clipped = (
+        cov.withColumns(
+            {
+                "_dx": c("x2") - c("x1"),
+                "_dy": c("y2") - c("y1"),
+                "_xlo": c("_cx") * F.lit(s),
+                "_ylo": c("_cy") * F.lit(s),
+            }
+        )
+        .withColumns(
+            {
+                "_txmin": F.when(c("_dx") == 0.0, F.lit(0.0)).otherwise(
+                    F.least(
+                        (c("_xlo") - c("x1")) / c("_dx"),
+                        (c("_xlo") + F.lit(s) - c("x1")) / c("_dx"),
+                    )
+                ),
+                "_txmax": F.when(c("_dx") == 0.0, F.lit(1.0)).otherwise(
+                    F.greatest(
+                        (c("_xlo") - c("x1")) / c("_dx"),
+                        (c("_xlo") + F.lit(s) - c("x1")) / c("_dx"),
+                    )
+                ),
+                "_tymin": F.when(c("_dy") == 0.0, F.lit(0.0)).otherwise(
+                    F.least(
+                        (c("_ylo") - c("y1")) / c("_dy"),
+                        (c("_ylo") + F.lit(s) - c("y1")) / c("_dy"),
+                    )
+                ),
+                "_tymax": F.when(c("_dy") == 0.0, F.lit(1.0)).otherwise(
+                    F.greatest(
+                        (c("_ylo") - c("y1")) / c("_dy"),
+                        (c("_ylo") + F.lit(s) - c("y1")) / c("_dy"),
+                    )
+                ),
+            }
+        )
+        .withColumns(
+            {
+                "_t0": F.greatest(c("_txmin"), c("_tymin"), F.lit(0.0)),
+                "_t1": F.least(c("_txmax"), c("_tymax"), F.lit(1.0)),
+                "_len": F.sqrt(c("_dx") * c("_dx") + c("_dy") * c("_dy")),
+            }
+        )
+        .withColumn("_frac", F.greatest(c("_t1") - c("_t0"), F.lit(0.0)))
+        .filter(c("_frac") > 0.0)
+        .withColumn("_clip", c("_len") * c("_frac"))
+    )
+    return (
+        clipped.groupBy("_cx", "_cy")
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.round(F.sum("_clip"), 6).alias("length_m"),
+        )
+        .select(
+            pack_cell(F.col("_cx"), F.col("_cy")).alias("cell"),
+            F.col("_cx").alias("cx"),
+            F.col("_cy").alias("cy"),
+            "n_segs",
+            "length_m",
+        )
+    )
+
+
+def oracle_rasterize_segments_sql(cell_size: float = DEFAULT_CELL_SIZE) -> str:
+    """Same parametric-clip arithmetic; cover via LATERAL range() (the
+    tiles_roads oracle shape, ring 0). Needs the roads CTE in scope."""
+    s = cell_size
+    return f"""
+rseg_cov AS (
+  SELECT r.objectid AS sid, r.x1, r.y1, r.x2, r.y2, cx.cx, cy.cy
+  FROM roads r,
+  LATERAL (SELECT unnest(range(
+    CAST(FLOOR(least(r.x1, r.x2) / {s}) AS BIGINT),
+    CAST(FLOOR(greatest(r.x1, r.x2) / {s}) AS BIGINT) + 1)) AS cx) cx,
+  LATERAL (SELECT unnest(range(
+    CAST(FLOOR(least(r.y1, r.y2) / {s}) AS BIGINT),
+    CAST(FLOOR(greatest(r.y1, r.y2) / {s}) AS BIGINT) + 1)) AS cy) cy
+),
+rseg_clip AS (
+  SELECT *, _len * _frac AS _clip FROM (
+    SELECT *, CASE WHEN _t1 - _t0 > 0.0 THEN _t1 - _t0 ELSE 0.0 END AS _frac FROM (
+      SELECT *, greatest(_txmin, _tymin, 0.0) AS _t0,
+             least(_txmax, _tymax, 1.0) AS _t1,
+             sqrt(_dx * _dx + _dy * _dy) AS _len FROM (
+        SELECT *,
+          CASE WHEN _dx = 0.0 THEN 0.0
+               ELSE least((_xlo - x1) / _dx, (_xlo + {s} - x1) / _dx) END AS _txmin,
+          CASE WHEN _dx = 0.0 THEN 1.0
+               ELSE greatest((_xlo - x1) / _dx, (_xlo + {s} - x1) / _dx) END AS _txmax,
+          CASE WHEN _dy = 0.0 THEN 0.0
+               ELSE least((_ylo - y1) / _dy, (_ylo + {s} - y1) / _dy) END AS _tymin,
+          CASE WHEN _dy = 0.0 THEN 1.0
+               ELSE greatest((_ylo - y1) / _dy, (_ylo + {s} - y1) / _dy) END AS _tymax
+        FROM (
+          SELECT sid, x1, y1, x2, y2, cx, cy,
+                 x2 - x1 AS _dx, y2 - y1 AS _dy,
+                 cx * {float(s)} AS _xlo, cy * {float(s)} AS _ylo
+          FROM rseg_cov
+        )
+      )
+    )
+  ) WHERE _frac > 0.0
+)
+SELECT cx * {PACK} + cy + {CY_BIAS} AS cell, cx, cy,
+       count(*) AS n_segs, round(sum(_clip), 6) AS length_m
+FROM rseg_clip GROUP BY cx, cy"""

@@ -141,3 +141,101 @@ def test_bm25_prefers_term_dense_docs(spark):
     out2 = T.bm25_topk_docs(docs2, ["spark", "rareterm"], k=4).collect()
     r2 = {r["doc_id"]: r["score"] for r in out2}
     assert r2[1] > r2[2]
+
+
+@pytest.mark.parametrize("name", ("rasterize_segments", "polyline_simplify"))
+def test_round5b_geometry_matches_oracle(name, spark, duck):
+    fn = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql()[name]
+    assert_frames_match(fn(spark, SF_DIR), duck.sql(sql).df(), name)
+
+
+def test_rasterize_segments_conserves_length(spark):
+    """Clipped per-cell lengths sum back to the total network length —
+    the partition-of-unity property of the parametric clip."""
+    from roadgrinder_spark import datagen
+    from roadgrinder_spark.spatial import raster as sr
+
+    roads = datagen.derive_roads(spark, SF_DIR)
+    out = sr.rasterize_segments(roads)
+    tot = out.agg(F.sum("length_m")).first()[0]
+    exp = roads.select(
+        F.sqrt(
+            (F.col("x2") - F.col("x1")) ** 2 + (F.col("y2") - F.col("y1")) ** 2
+        ).alias("l")
+    ).agg(F.sum("l")).first()[0]
+    assert abs(tot - exp) < 1e-3 * exp
+
+
+def _reference_dp(pts, tol):
+    """Independent recursive Douglas–Peucker (pure Python) — the spec the
+    distributed numpy kernel must reproduce, including first-max ties."""
+    import math
+
+    def rec(a, b, keep):
+        if b - a < 2:
+            return
+        ax, ay = pts[a][1], pts[a][2]
+        bx, by = pts[b][1], pts[b][2]
+        dx, dy = bx - ax, by - ay
+        seg = math.hypot(dx, dy)
+        best, bi = -1.0, -1
+        for i in range(a + 1, b):
+            x, y = pts[i][1], pts[i][2]
+            d = (
+                math.hypot(x - ax, y - ay)
+                if seg == 0.0
+                else abs(dx * (y - ay) - dy * (x - ax)) / seg
+            )
+            if d > best:
+                best, bi = d, i
+        if best > tol:
+            keep.add(pts[bi][0])
+            rec(a, bi, keep)
+            rec(bi, b, keep)
+
+    keep = {pts[0][0], pts[-1][0]}
+    rec(0, len(pts) - 1, keep)
+    return keep
+
+
+def test_polyline_simplify_matches_reference_on_jittered(spark):
+    """Planted perpendicular jitter makes DP genuinely recursive (splits
+    happen); the distributed kernel must equal the independent reference
+    per line, and the collinear corpus must reduce to endpoints."""
+    from roadgrinder_spark import datagen
+    from roadgrinder_spark.spatial import cells as sc
+    from roadgrinder_spark.spatial import simplify as ssim
+    from roadgrinder_spark.session import ship_package
+
+    ship_package(spark)
+    roads = datagen.derive_roads(spark, SF_DIR)
+    samples = sc.segment_sample(roads, spacing=25.0)
+    # deterministic perpendicular-ish jitter: 0 for most vertices, a big
+    # offset on some — amplitudes straddle the tolerance
+    jit = ((F.col("road_id") * 31 + F.col("seq") * 17) % 7 - 3).cast("double")
+    jittered = samples.select(
+        "road_id",
+        "seq",
+        (F.col("sx") + jit * 4.0).alias("sx"),
+        (F.col("sy") - jit * 2.5).alias("sy"),
+    )
+    tol = 5.0
+    out = ssim.polyline_simplify(jittered, tolerance=tol)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["road_id"], set()).add(r["seq"])
+    rows = jittered.orderBy("road_id", "seq").collect()
+    by_line = {}
+    for r in rows:
+        by_line.setdefault(r["road_id"], []).append((r["seq"], r["sx"], r["sy"]))
+    n_interior = 0
+    for rid, pts in by_line.items():
+        exp = _reference_dp(pts, tol)
+        assert got.get(rid) == exp, f"road {rid}: {got.get(rid)} != {exp}"
+        n_interior += len(exp) - 2
+    assert n_interior > 0  # the jitter really forced recursive splits
+    # collinear corpus → exactly the chord endpoints
+    flat = ssim.polyline_simplify(samples, tolerance=1.0)
+    per = flat.groupBy("road_id").agg(F.count(F.lit(1)).alias("n"))
+    assert per.filter(F.col("n") != 2).count() == 0
