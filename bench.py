@@ -179,6 +179,18 @@ def run_suite() -> dict:
     # plan regression (term-key shuffle of the doc×term pair set) prints
     probe("q_tfidf_topk", lambda: T.tfidf_topk_terms(docs, k=5).agg(
         F.sum("score"), F.count(F.lit(1))).collect())
+    # round-5 wave 2: trajectory map-matching (kNN snap + run collapse),
+    # line rasterization, BM25 retrieval, spatial anti-join
+    from roadgrinder_spark.spatial import trajectory as tj
+
+    pings = tj.derive_pings(spark, SF_DIR)
+    probe("q_route_snap", lambda: tj.route_snap(pings, roads).agg(
+        F.sum("n_pings"), F.count(F.lit(1))).collect())
+    probe("q_rasterize_segments", lambda: sra.rasterize_segments(roads).agg(
+        F.sum("length_m"), F.sum("n_segs")).collect())
+    probe("q_bm25_topk", lambda: T.bm25_topk_docs(
+        docs, list(T.GATE_BM25_TERMS), k=20).agg(F.sum("score")).collect())
+    probe("q_orphan_points", lambda: sj.orphan_points(pnts, roads).count())
     # streaming paths timed end-to-end (VERDICT r3 #6, r4 #6): full
     # availableNow drains incl. staging + checkpoint + per-batch work.
     # min-of-2: each run pays real stream-setup latency, keep suite
