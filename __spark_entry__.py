@@ -4,8 +4,8 @@ entry(spark)   — flagship: derive SGID-shaped inputs from sf0.001, pack
                  them into the interleaved span-document substrate, unpack,
                  run the alias pipeline and the spatial geocode match.
 queries()      — one entry per implemented operator (SURVEY.md §2 plus the
-                 LLM-curation surface). 86 entries total.
-oracle_sql()   — DuckDB-equivalent SQL for EVERY one of the 86 queries:
+                 LLM-curation surface). 98 entries total.
+oracle_sql()   — DuckDB-equivalent SQL for EVERY one of the 98 queries:
                  hash-based ops ride the portable polynomial hash
                  (functions/phash.py), the media stub's md5 arithmetic is
                  reproduced in SQL, the approximate IVF entry runs a
@@ -168,6 +168,13 @@ GATE_HISTORY: dict[str, tuple[int, ...]] = {
     "route_snap": (),
     "rasterize_segments": (),
     "polyline_simplify": (),
+    # round-5 wave 3
+    "dwell_detect": (),
+    "od_matrix": (),
+    "colocation_pairs": (),
+    "bfs_road_hops": (),
+    "kde_heatmap": (),
+    "span_media_align": (),
 }
 
 
@@ -404,6 +411,41 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["polyline_simplify"] = _simplify
+    # round-5 wave 3: trajectory analytics (stay-points, OD matrix,
+    # space-time co-location), road-network BFS reachability, weighted
+    # kernel density, and media-context alignment over the span docs
+
+    def _dwell(s, d):
+        from roadgrinder_spark.spatial import trajectory as tj
+
+        return tj.dwell_detect(tj.derive_pings(s, d))
+
+    q["dwell_detect"] = _dwell
+
+    def _od(s, d):
+        from roadgrinder_spark.spatial import trajectory as tj
+
+        return tj.od_matrix(tj.derive_pings(s, d))
+
+    q["od_matrix"] = _od
+
+    def _coloc(s, d):
+        from roadgrinder_spark.spatial import trajectory as tj
+
+        return tj.colocation_pairs(tj.derive_pings(s, d))
+
+    q["colocation_pairs"] = _coloc
+
+    def _bfs(s, d):
+        from roadgrinder_spark.spatial import network as nw
+
+        return nw.bfs_hops(_roads(s, d))
+
+    q["bfs_road_hops"] = _bfs
+    q["kde_heatmap"] = lambda s, d: sr.kde_heatmap(
+        sr.rasterize_points(_pnts(s, d))
+    )
+    q["span_media_align"] = lambda s, d: spans.span_media_align(_packed(s, d))
     q["geocode_match"] = lambda s, d: sj.geocode_match(
         _pnts(s, d), rg.explode_aliases(_roads(s, d)).geocode_roads
     )
@@ -819,6 +861,27 @@ def oracle_sql() -> dict[str, str]:
     o["segment_intersections"] = _with(
         *_split_body(sj.oracle_segment_intersections_sql(src="aug_roads")),
         R, sj.oracle_intersection_corpus_cte(),
+    )
+    # round-5 wave 3
+    from roadgrinder_spark.spatial import network as nw
+
+    o["dwell_detect"] = _with(
+        *_split_body(tj.oracle_dwell_sql()), tj.PINGS_CTE
+    )
+    o["od_matrix"] = _with(
+        *_split_body(tj.oracle_od_matrix_sql()), tj.PINGS_CTE
+    )
+    o["colocation_pairs"] = _with(
+        *_split_body(tj.oracle_colocation_sql()), tj.PINGS_CTE
+    )
+    o["bfs_road_hops"] = _with(
+        *_split_body(nw.oracle_bfs_sql()), R
+    ).replace("WITH ", "WITH RECURSIVE ", 1)
+    # whole-body compose (the embedded rasterize subquery contains its
+    # own "\nSELECT" — _split_body would cut at the wrong place)
+    o["kde_heatmap"] = _with(sr.oracle_kde_heatmap_sql(), P)
+    o["span_media_align"] = _with(
+        *_split_body(spans.oracle_span_media_align_sql()), R, P
     )
     return o
 

@@ -177,3 +177,81 @@ sp_docs AS (
 SELECT doc_id, n_rec * 2 AS n_spans, n_rec AS n_media, n_rec AS n_attr,
        media_chars, TRUE AS offsets_increasing
 FROM sp_docs"""
+
+
+def span_media_align(docs: DataFrame, drop_mod: int = 3) -> DataFrame:
+    """Media-to-context alignment over the interleaved span sequence:
+    for each media span, the offset of the nearest PRECEDING retained
+    text span in the same document — the caption/context attachment
+    step of a multimodal curation pipeline. Text spans whose index is
+    divisible by drop_mod are dropped first (simulating a quality
+    filter), so the lookback genuinely searches past removed spans and
+    media with no surviving predecessor gets NULL.
+
+    Pure span-array plumbing: one explode, one per-doc window
+    (last-ignorenulls over offset order), no joins; shuffle is one
+    hash partitioning by doc_id. Returns (doc_id, offset, media_ref,
+    ctx_offset)."""
+    from pyspark.sql import Window
+
+    s = docs.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )
+    # text spans sit at even offsets 2*idx; idx % drop_mod == 0 drops
+    # ⟺ offset % (2*drop_mod) == 0 — stays integer-only in both dialects
+    kept = s.filter(
+        (F.col("kind") == "media") | (F.col("offset") % (2 * drop_mod) != 0)
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("offset")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ctx = F.last(
+        F.when(F.col("kind") != "media", F.col("offset")), ignorenulls=True
+    ).over(w)
+    return (
+        kept.withColumn("ctx_offset", ctx)
+        .filter(F.col("kind") == "media")
+        .select("doc_id", "offset", "media_ref", "ctx_offset")
+    )
+
+
+def oracle_span_media_align_sql(group_size: int = 16, drop_mod: int = 3) -> str:
+    """DuckDB oracle: reconstructs the span sequence per doc from the
+    source relations (the pack layout: text at 2*idx, media at 2*idx+1,
+    idx = objectid % group_size; media_ref strings are the same WKT the
+    media oracles rebuild), applies the same drop + lookback window.
+    Requires the roads/addrpnts CTEs in scope."""
+    return f"""
+sa_recs AS (
+  SELECT 'road-' || CAST(CAST(FLOOR(objectid / {group_size}) AS BIGINT) AS STRING) AS doc_id,
+         CAST(objectid % {group_size} AS INTEGER) AS idx,
+         geometry AS media_ref
+  FROM roads
+  UNION ALL
+  SELECT 'addrpnt-' || CAST(CAST(FLOOR(objectid / {group_size}) AS BIGINT) AS STRING) AS doc_id,
+         CAST(objectid % {group_size} AS INTEGER) AS idx,
+         'POINT (' || CAST(px AS STRING) || ' ' || CAST(py AS STRING) || ')' AS media_ref
+  FROM addrpnts
+),
+sa_spans AS (
+  SELECT doc_id, idx * 2 AS "offset", 'text' AS kind,
+         CAST(NULL AS STRING) AS media_ref
+  FROM sa_recs WHERE idx % {drop_mod} <> 0
+  UNION ALL
+  SELECT doc_id, idx * 2 + 1 AS "offset", 'media' AS kind, media_ref
+  FROM sa_recs
+),
+sa_ctx AS (
+  SELECT doc_id, "offset", kind, media_ref,
+         last_value(CASE WHEN kind <> 'media' THEN "offset" END IGNORE NULLS)
+           OVER (PARTITION BY doc_id ORDER BY "offset"
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ctx_offset
+  FROM sa_spans
+)
+SELECT doc_id, "offset", media_ref, ctx_offset
+FROM sa_ctx WHERE kind = 'media'"""

@@ -583,3 +583,57 @@ rseg_clip AS (
 SELECT cx * {PACK} + cy + {CY_BIAS} AS cell, cx, cy,
        count(*) AS n_segs, round(sum(_clip), 6) AS length_m
 FROM rseg_clip GROUP BY cx, cy"""
+
+
+def kde_heatmap(raster: DataFrame, radius: int = 2) -> DataFrame:
+    """Kernel density surface over the cell raster: each input cell
+    spreads its count into the (2r+1)^2 window around it, weighted by
+    the integer quartic-shaped kernel w = (r + 1 - chebyshev_ring)^2
+    (center 9, ring-1 4, ring-2 1 at r=2) — the grid-KDE behind heatmap
+    layers, computed without any floating-point kernel so engine sums
+    stay exact integers at any aggregation order.
+
+    Same plan as raster_neighborhood (offset explode + ONE hash
+    aggregate with map-side combine, no self-join, no window) with a
+    per-offset weight multiplier; shuffle is (2r+1)^2 * N rows keyed by
+    cell id."""
+    offs = F.sequence(F.lit(-radius), F.lit(radius))
+    ringw = (
+        F.lit(radius + 1)
+        - F.greatest(F.abs(F.col("dx")), F.abs(F.col("dy")))
+    )
+    spread = (
+        raster.select("cx", "cy", "n", F.explode(offs).alias("dx"))
+        .select("cx", "cy", "n", "dx", F.explode(offs).alias("dy"))
+        .select(
+            (F.col("cx") + F.col("dx")).alias("cx"),
+            (F.col("cy") + F.col("dy")).alias("cy"),
+            (F.col("n") * ringw * ringw).alias("wn"),
+        )
+    )
+    return (
+        spread.groupBy("cx", "cy")
+        .agg(F.sum("wn").alias("density"))
+        .select(
+            pack_cell(F.col("cx"), F.col("cy")).alias("cell"),
+            "cx", "cy", "density",
+        )
+    )
+
+
+def oracle_kde_heatmap_sql(
+    cell_size: float = DEFAULT_CELL_SIZE, radius: int = 2
+) -> str:
+    """DuckDB oracle (sum(BIGINT) widens to HUGEINT — cast back)."""
+    base = oracle_rasterize_points_sql(cell_size)
+    return f"""
+SELECT cx * {PACK} + cy + {CY_BIAS} AS cell, cx, cy, density FROM (
+  SELECT r.cx + dx.dx AS cx, r.cy + dy.dy AS cy,
+         CAST(sum(r.n * ({radius} + 1 - greatest(abs(dx.dx), abs(dy.dy)))
+                      * ({radius} + 1 - greatest(abs(dx.dx), abs(dy.dy))))
+              AS BIGINT) AS density
+  FROM ({base}) r,
+       LATERAL (SELECT unnest(range({-radius}, {radius} + 1)) AS dx) dx,
+       LATERAL (SELECT unnest(range({-radius}, {radius} + 1)) AS dy) dy
+  GROUP BY 1, 2
+)"""

@@ -141,3 +141,221 @@ SELECT user_id, run_id, road_id,
        min(ts) AS enter_ts, max(ts) AS exit_ts,
        count(*) AS n_pings
 FROM rs_runs GROUP BY user_id, run_id, road_id"""
+
+
+# ---------------------------------------------------------------------------
+# round-5 wave 3: trajectory analytics over the ping stream — stay-point
+# (dwell) detection, origin–destination matrices, and space-time
+# co-location pairs. Together with route_snap these cover the standard
+# mobile-trace pipeline (RoadGrinder's address/road matching feeds the
+# same downstream rollups; the reference has no trajectory surface, so
+# these are engine-native extensions over the same spatial index).
+# ---------------------------------------------------------------------------
+
+from .cells import point_cell, point_cell_sql
+
+
+def dwell_detect(
+    pings: DataFrame,
+    cell_size: float = 250.0,
+    min_pings: int = 3,
+) -> DataFrame:
+    """Stay-point detection: maximal runs of consecutive pings (per user,
+    (ts, ping_id) order) inside the SAME grid cell, kept when the run has
+    >= min_pings pings. Returns (user_id, dwell_id, cell, enter_ts,
+    exit_ts, n_pings); dwell_id numbers ALL runs 1-based per user (kept
+    and dropped alike), so ids are stable under threshold changes.
+
+    The route_snap collapse keyed by the tile instead of the road: one
+    shuffle by user_id, window + one aggregate, bounded per-user state —
+    the sessionize shape, scale-safe at any ping volume."""
+    cell = point_cell(F.col("px"), F.col("py"), cell_size).alias("cell")
+    df = pings.select("user_id", "ts", "ping_id", cell)
+    w = Window.partitionBy("user_id").orderBy("ts", "ping_id")
+    prev = F.lag("cell").over(w)
+    rn = F.row_number().over(w)
+    new_run = (
+        F.when(rn == 1, F.lit(1))
+        .when(~prev.eqNullSafe(F.col("cell")), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    runs = df.withColumn(
+        "dwell_id",
+        F.sum(new_run).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        runs.groupBy("user_id", "dwell_id", "cell")
+        .agg(
+            F.min("ts").alias("enter_ts"),
+            F.max("ts").alias("exit_ts"),
+            F.count(F.lit(1)).alias("n_pings"),
+        )
+        .filter(F.col("n_pings") >= min_pings)
+    )
+
+
+def oracle_dwell_sql(cell_size: float = 250.0, min_pings: int = 3) -> str:
+    """DuckDB oracle: same window collapse (window SUM casts to BIGINT to
+    match Spark's LONG — the route_snap lesson). Needs the pings CTE."""
+    cell = point_cell_sql("px", "py", cell_size)
+    return f"""
+dw_cells AS (
+  SELECT user_id, ts, ping_id, {cell} AS cell FROM pings
+),
+dw_flag AS (
+  SELECT user_id, ts, ping_id, cell,
+         CASE WHEN row_number() OVER w = 1 THEN 1
+              WHEN lag(cell) OVER w IS DISTINCT FROM cell THEN 1
+              ELSE 0 END AS new_run
+  FROM dw_cells
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, ping_id)
+),
+dw_runs AS (
+  SELECT user_id, ts, cell,
+         CAST(sum(new_run) OVER (PARTITION BY user_id ORDER BY ts, ping_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS dwell_id
+  FROM dw_flag
+)
+SELECT user_id, dwell_id, cell,
+       min(ts) AS enter_ts, max(ts) AS exit_ts, count(*) AS n_pings
+FROM dw_runs GROUP BY user_id, dwell_id, cell
+HAVING count(*) >= {min_pings}"""
+
+
+def od_matrix(
+    pings: DataFrame,
+    gap_s: int = 21600,
+    cell_size: float = 500.0,
+) -> DataFrame:
+    """Origin–destination matrix: pings sessionize into trips at time
+    gaps > gap_s (per user, (ts, ping_id) order); each trip contributes
+    one (origin cell, destination cell) of its first/last ping; trips
+    aggregate into (o_cell, d_cell, n_trips) — the OD rollup behind
+    travel-demand and flow maps.
+
+    Two window passes over the same user_id partitioning (one shuffle),
+    then two hash aggregates whose output is bounded by trips and by
+    distinct cell pairs. Gap arithmetic stays in whole epoch seconds
+    (Spark's timestamp→long cast == DuckDB's date_diff('second'): both
+    are floor-of-second differences for positive epochs)."""
+    cell = point_cell(F.col("px"), F.col("py"), cell_size).alias("cell")
+    df = pings.select("user_id", "ts", "ping_id", cell)
+    w = Window.partitionBy("user_id").orderBy("ts", "ping_id")
+    # parquet TIMESTAMP_NTZ → epoch seconds (session TZ pinned UTC; the
+    # events.sessionize idiom). floor-of-second differences == DuckDB's
+    # date_diff('second') boundary count for ordered timestamps.
+    sec = F.col("ts").cast("timestamp").cast("long")
+    gap = sec - F.lag(sec).over(w)
+    new_trip = F.when(gap.isNull() | (gap > gap_s), F.lit(1)).otherwise(F.lit(0))
+    trips = df.withColumn(
+        "trip_id",
+        F.sum(new_trip).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    wt = Window.partitionBy("user_id", "trip_id")
+    ra = F.row_number().over(wt.orderBy("ts", "ping_id"))
+    rd = F.row_number().over(wt.orderBy(F.col("ts").desc(), F.col("ping_id").desc()))
+    od = (
+        trips.withColumn("_ra", ra)
+        .withColumn("_rd", rd)
+        .groupBy("user_id", "trip_id")
+        .agg(
+            F.max(F.when(F.col("_ra") == 1, F.col("cell"))).alias("o_cell"),
+            F.max(F.when(F.col("_rd") == 1, F.col("cell"))).alias("d_cell"),
+        )
+    )
+    return od.groupBy("o_cell", "d_cell").agg(
+        F.count(F.lit(1)).alias("n_trips")
+    )
+
+
+def oracle_od_matrix_sql(gap_s: int = 21600, cell_size: float = 500.0) -> str:
+    """DuckDB oracle. date_diff('second', a, b) == floor-second delta,
+    matching Spark's long casts. Needs the pings CTE."""
+    cell = point_cell_sql("px", "py", cell_size)
+    return f"""
+od_cells AS (
+  SELECT user_id, ts, ping_id, {cell} AS cell FROM pings
+),
+od_flag AS (
+  SELECT user_id, ts, ping_id, cell,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN date_diff('second', lag(ts) OVER w, ts) > {gap_s} THEN 1
+              ELSE 0 END AS new_trip
+  FROM od_cells
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, ping_id)
+),
+od_trips AS (
+  SELECT user_id, ts, ping_id, cell,
+         CAST(sum(new_trip) OVER (PARTITION BY user_id ORDER BY ts, ping_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS trip_id
+  FROM od_flag
+),
+od_rank AS (
+  SELECT user_id, trip_id, cell,
+         row_number() OVER (PARTITION BY user_id, trip_id
+                            ORDER BY ts, ping_id) AS ra,
+         row_number() OVER (PARTITION BY user_id, trip_id
+                            ORDER BY ts DESC, ping_id DESC) AS rd
+  FROM od_trips
+),
+od_ends AS (
+  SELECT user_id, trip_id,
+         max(CASE WHEN ra = 1 THEN cell END) AS o_cell,
+         max(CASE WHEN rd = 1 THEN cell END) AS d_cell
+  FROM od_rank GROUP BY user_id, trip_id
+)
+SELECT o_cell, d_cell, count(*) AS n_trips
+FROM od_ends GROUP BY o_cell, d_cell"""
+
+
+def colocation_pairs(
+    pings: DataFrame,
+    cell_size: float = 6250.0,
+    bucket: str = "day",
+) -> DataFrame:
+    """Space-time co-location: pairs of distinct users observed in the
+    same zone (cell_size tile) during the same time bucket, with the
+    number of co-located (zone, bucket) events — co-travel / contact
+    detection. Returns (user_a, user_b, n_events) with user_a < user_b.
+
+    Plan: DISTINCT presence (user, cell, bucket) — one shuffle that also
+    dedups multi-ping buckets — then a self equi-join keyed on (cell,
+    bucket) + inequality residual, then one pair aggregate. The join key
+    is the zone-time composite, so hot zones are the skew axis (same
+    shape as knn_join; AQE skew-split applies). The time bucket never
+    reaches the output, so engine bucket-type differences can't leak
+    into the compare."""
+    cell = point_cell(F.col("px"), F.col("py"), cell_size).alias("cell")
+    pres = pings.select(
+        "user_id", cell, F.date_trunc(bucket, F.col("ts")).alias("bucket")
+    ).distinct()
+    a = pres.alias("a")
+    b = pres.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("user_a"),
+            F.col("b.user_id").alias("user_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def oracle_colocation_sql(cell_size: float = 6250.0, bucket: str = "day") -> str:
+    """DuckDB oracle (same presence/self-join shape). Needs pings CTE."""
+    cell = point_cell_sql("px", "py", cell_size)
+    return f"""
+cl_pres AS (
+  SELECT DISTINCT user_id, {cell} AS cell,
+         date_trunc('{bucket}', ts) AS bucket
+  FROM pings
+)
+SELECT a.user_id AS user_a, b.user_id AS user_b, count(*) AS n_events
+FROM cl_pres a JOIN cl_pres b
+  ON a.cell = b.cell AND a.bucket = b.bucket AND a.user_id < b.user_id
+GROUP BY a.user_id, b.user_id"""

@@ -1,0 +1,263 @@
+"""Round-5 wave-3 operators vs independent pure-Python references.
+
+The driver gate (and test_gate_tail) already checks these against the
+DuckDB oracles; this suite re-derives expected outputs with hand-rolled
+Python (dict/loop) implementations on planted inputs, so a bug shared
+by both SQL dialects can't hide.
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, LongType, StringType, StructField, StructType, TimestampType,
+    DoubleType,
+)
+
+from roadgrinder_spark.spatial import network as nw
+from roadgrinder_spark.spatial import raster as sr
+from roadgrinder_spark.spatial import trajectory as tj
+from roadgrinder_spark.operators import spans as sp_ops
+
+PACK = 1 << 26
+CY_BIAS = 1 << 25
+
+
+def _cell(x: float, y: float, cs: float) -> int:
+    return math.floor(x / cs) * PACK + math.floor(y / cs) + CY_BIAS
+
+
+PING_SCHEMA = StructType([
+    StructField("ping_id", LongType()),
+    StructField("user_id", LongType()),
+    StructField("ts", TimestampType()),
+    StructField("px", DoubleType()),
+    StructField("py", DoubleType()),
+])
+
+T0 = datetime(2024, 1, 1, 8, 0, 0)
+
+
+def _pings_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, u, t, float(x), float(y)) for i, (u, t, x, y) in enumerate(rows)],
+        PING_SCHEMA,
+    )
+
+
+def test_dwell_detect_runs_and_threshold(spark):
+    cs = 250.0
+    # user 1: 4 pings cell A, 2 pings cell B, 3 pings cell A again;
+    # user 2: 2 pings cell C only (below threshold -> no output)
+    rows = (
+        [(1, T0 + timedelta(minutes=m), 10 + m, 50) for m in range(4)]
+        + [(1, T0 + timedelta(minutes=4 + m), 300 + m, 50) for m in range(2)]
+        + [(1, T0 + timedelta(minutes=6 + m), 40 + m, 50) for m in range(3)]
+        + [(2, T0 + timedelta(minutes=m), 900 + m, 900) for m in range(2)]
+    )
+    out = tj.dwell_detect(_pings_df(spark, rows), cell_size=cs, min_pings=3)
+    got = {
+        (r["user_id"], r["dwell_id"]): (
+            r["cell"], r["enter_ts"], r["exit_ts"], r["n_pings"]
+        )
+        for r in out.collect()
+    }
+    a = _cell(10, 50, cs)
+    assert got == {
+        (1, 1): (a, T0, T0 + timedelta(minutes=3), 4),
+        # dwell_id 2 is the dropped cell-B run; the second A-run keeps id 3
+        (1, 3): (a, T0 + timedelta(minutes=6), T0 + timedelta(minutes=8), 3),
+    }
+
+
+def test_dwell_detect_orders_by_ts_then_ping_id(spark):
+    # two pings share a timestamp; ping_id breaks the tie, so the run
+    # sequence is A,A | B — one kept run of 2 at min_pings=2
+    rows = [
+        (7, T0, 10, 10),
+        (7, T0, 20, 10),       # same ts, later ping_id, same cell
+        (7, T0 + timedelta(seconds=30), 500, 10),
+    ]
+    out = tj.dwell_detect(_pings_df(spark, rows), cell_size=250.0, min_pings=2)
+    rs = out.collect()
+    assert len(rs) == 1 and rs[0]["n_pings"] == 2 and rs[0]["dwell_id"] == 1
+
+
+def test_od_matrix_trip_split_and_endpoints(spark):
+    cs, gap = 500.0, 3600
+    # user 1, trip 1: origin cell (0,0) -> dest cell (2,0); then a 2 h
+    # gap; trip 2: single-ping trip (origin == dest). user 2: one trip
+    # with out-of-order-looking coords, origin (9,9) dest (0,0).
+    rows = [
+        (1, T0, 100, 100),
+        (1, T0 + timedelta(minutes=10), 600, 100),
+        (1, T0 + timedelta(minutes=20), 1100, 100),
+        (1, T0 + timedelta(hours=2, minutes=21), 2600, 100),
+        (2, T0, 4700, 4700),
+        (2, T0 + timedelta(minutes=5), 100, 100),
+    ]
+    out = tj.od_matrix(_pings_df(spark, rows), gap_s=gap, cell_size=cs)
+    got = {(r["o_cell"], r["d_cell"]): r["n_trips"] for r in out.collect()}
+    c = lambda x, y: _cell(x, y, cs)
+    assert got == {
+        (c(100, 100), c(1100, 100)): 1,
+        (c(2600, 100), c(2600, 100)): 1,
+        (c(4700, 4700), c(100, 100)): 1,
+    }
+
+
+def test_od_matrix_gap_boundary_not_split(spark):
+    # exactly gap_s seconds apart is NOT a new trip (> strict)
+    rows = [(5, T0, 100, 100), (5, T0 + timedelta(seconds=3600), 5100, 100)]
+    out = tj.od_matrix(_pings_df(spark, rows), gap_s=3600, cell_size=500.0)
+    rs = out.collect()
+    assert len(rs) == 1 and rs[0]["n_trips"] == 1
+    assert rs[0]["o_cell"] != rs[0]["d_cell"]
+
+
+def test_colocation_pairs_counts_distinct_presence(spark):
+    cs = 1000.0
+    day2 = T0 + timedelta(days=1)
+    rows = [
+        # users 3 & 4 share cell (0,0) on day 1 (4 has TWO pings there —
+        # presence dedup means it still counts once) and cell (5,5) on
+        # day 2; user 5 sits alone far away; 3 & 5 share nothing
+        (3, T0, 100, 100),
+        (4, T0 + timedelta(hours=1), 900, 900),
+        (4, T0 + timedelta(hours=2), 500, 500),
+        (3, day2, 5100, 5100),
+        (4, day2 + timedelta(hours=3), 5900, 5900),
+        (5, T0, 99000, 99000),
+    ]
+    out = tj.colocation_pairs(_pings_df(spark, rows), cell_size=cs, bucket="day")
+    got = {(r["user_a"], r["user_b"]): r["n_events"] for r in out.collect()}
+    assert got == {(3, 4): 2}
+
+
+def _roads_df(spark, segs):
+    return spark.createDataFrame(
+        [(i, float(x1), float(y1), float(x2), float(y2))
+         for i, (x1, y1, x2, y2) in segs.items()],
+        "objectid long, x1 double, y1 double, x2 double, y2 double",
+    )
+
+
+def _py_edges(segs, tol):
+    eps = {i: [(x1, y1), (x2, y2)] for i, (x1, y1, x2, y2) in segs.items()}
+    out = set()
+    for a, pa in eps.items():
+        for b, pb in eps.items():
+            if a == b:
+                continue
+            for ax, ay in pa:
+                for bx, by in pb:
+                    if (bx - ax) ** 2 + (by - ay) ** 2 <= tol * tol:
+                        out.add((a, b))
+    return out
+
+
+def _py_bfs(segs, tol, seed_mod, max_hops):
+    edges = _py_edges(segs, tol)
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    hops = {i: 0 for i in segs if i % seed_mod == 0}
+    frontier = set(hops)
+    for h in range(1, max_hops + 1):
+        frontier = {
+            d for s in frontier for d in adj.get(s, ()) if d not in hops
+        }
+        if not frontier:
+            break
+        for d in frontier:
+            hops[d] = h
+    return hops
+
+
+def _lattice_segs():
+    # an irregular lattice: a 12-segment chain with one gap (segment 5
+    # displaced beyond tol), a branch off segment 3, and an island
+    segs = {}
+    for i in range(12):
+        x = i * 100.0 + (500.0 if i == 5 else 0.0)
+        segs[i] = (x, 0.0, x + 100.0, 0.0)
+    segs[20] = (300.0, 0.0, 300.0, 120.0)   # branch at chain joint 2/3
+    segs[21] = (300.0, 120.0, 300.0, 240.0)
+    segs[41] = (9000.0, 9000.0, 9100.0, 9000.0)  # island, unreachable
+    return segs
+
+
+def test_road_edges_match_bruteforce(spark):
+    segs, tol = _lattice_segs(), 50.0
+    got = {(r["src"], r["dst"]) for r in nw.road_edges(_roads_df(spark, segs), tol).collect()}
+    assert got == _py_edges(segs, tol)
+
+
+def test_bfs_hops_exact_levels(spark, tmp_path):
+    segs, tol = _lattice_segs(), 50.0
+    out = nw.bfs_hops(
+        _roads_df(spark, segs), seed_mod=20, max_hops=4, snap_tol=tol,
+        work_dir=str(tmp_path / "bfs"),
+    )
+    got = {r["road_id"]: r["hops"] for r in out.collect()}
+    exp = _py_bfs(segs, tol, seed_mod=20, max_hops=4)
+    assert got == exp
+    assert 41 not in got          # island unreached (and not a seed)
+    assert got[0] == 0 and got[20] == 0 and got[21] == 1
+
+
+def test_kde_heatmap_matches_bruteforce(spark):
+    radius = 2
+    cells = [(0, 0, 5), (1, 0, 2), (10, 10, 1), (-3, 4, 7)]
+    raster = spark.createDataFrame(cells, "cx long, cy long, n long")
+    exp: dict[tuple[int, int], int] = {}
+    for cx, cy, n in cells:
+        for dx in range(-radius, radius + 1):
+            for dy in range(-radius, radius + 1):
+                w = (radius + 1 - max(abs(dx), abs(dy))) ** 2
+                k = (cx + dx, cy + dy)
+                exp[k] = exp.get(k, 0) + n * w
+    out = sr.kde_heatmap(raster, radius=radius)
+    got = {(r["cx"], r["cy"]): r["density"] for r in out.collect()}
+    assert got == exp
+    # pack is consistent with the grid convention
+    one = out.filter((F.col("cx") == 0) & (F.col("cy") == 0)).collect()[0]
+    assert one["cell"] == 0 * PACK + 0 + CY_BIAS
+
+
+SPAN_SCHEMA = StructType([
+    StructField("doc_id", StringType()),
+    StructField("spans", ArrayType(StructType([
+        StructField("kind", StringType()),
+        StructField("media_ref", StringType()),
+        StructField("offset", LongType()),
+    ]))),
+])
+
+
+def test_span_media_align_lookback(spark):
+    # doc d1: text@0 text@2 text@4 media@1 media@3 media@5 media@7;
+    # drop_mod=3 drops text whose offset % 6 == 0 (offsets 0, 6, ...)
+    d1 = [
+        ("text", None, 0), ("media", "m1", 1),
+        ("text", None, 2), ("media", "m3", 3),
+        ("text", None, 4), ("media", "m5", 5),
+        ("text", None, 6), ("media", "m7", 7),
+    ]
+    d2 = [("media", "x1", 1)]  # media-only doc -> NULL ctx
+    docs = spark.createDataFrame([("d1", d1), ("d2", d2)], SPAN_SCHEMA)
+    out = sp_ops.span_media_align(docs, drop_mod=3)
+    got = {
+        (r["doc_id"], r["offset"]): (r["media_ref"], r["ctx_offset"])
+        for r in out.collect()
+    }
+    assert got == {
+        ("d1", 1): ("m1", None),     # text@0 dropped, nothing earlier
+        ("d1", 3): ("m3", 2),
+        ("d1", 5): ("m5", 4),
+        ("d1", 7): ("m7", 4),        # text@6 dropped -> falls back to 4
+        ("d2", 1): ("x1", None),
+    }
