@@ -238,6 +238,117 @@ SPAN_SCHEMA = StructType([
 ])
 
 
+# ---------------------------------------------------------------------------
+# property tests: randomized ping streams vs pure-Python third engines
+# (adversarial: duplicate timestamps, negative coords, cell-boundary
+# values, single-ping users)
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+COORD = st.sampled_from([-0.1, 0.0, 100.0, 249.9, 250.0, 400.0, 625.0, 1300.0])
+MINUTE = st.integers(min_value=0, max_value=200)
+
+
+@st.composite
+def ping_streams(draw):
+    n = draw(st.integers(min_value=1, max_value=14))
+    rows = []
+    for _ in range(n):
+        rows.append((
+            draw(st.integers(min_value=1, max_value=3)),          # user
+            T0 + timedelta(minutes=draw(MINUTE)),                 # ts (dups ok)
+            draw(COORD), draw(COORD),
+        ))
+    return rows
+
+
+def _sorted_user_rows(rows):
+    by_user: dict[int, list] = {}
+    for i, (u, t, x, y) in enumerate(rows):
+        by_user.setdefault(u, []).append((t, i, x, y))
+    for v in by_user.values():
+        v.sort(key=lambda r: (r[0], r[1]))
+    return by_user
+
+
+def _dwell_py(rows, cs, min_pings):
+    out = {}
+    for u, pings in _sorted_user_rows(rows).items():
+        did, run = 0, None
+        for t, i, x, y in pings:
+            c = _cell(x, y, cs)
+            if run is None or run[0] != c:
+                if run is not None and run[3] >= min_pings:
+                    out[(u, did)] = (run[0], run[1], run[2], run[3])
+                did += 1
+                run = [c, t, t, 1]
+            else:
+                run[2] = t
+                run[3] += 1
+        if run is not None and run[3] >= min_pings:
+            out[(u, did)] = (run[0], run[1], run[2], run[3])
+    return out
+
+
+def _od_py(rows, gap_s, cs):
+    out: dict[tuple[int, int], int] = {}
+    for u, pings in _sorted_user_rows(rows).items():
+        trips, prev = [], None
+        for t, i, x, y in pings:
+            if prev is None or (t - prev).total_seconds() > gap_s:
+                trips.append([])
+            trips[-1].append((x, y))
+            prev = t
+        for tr in trips:
+            k = (_cell(*tr[0], cs), _cell(*tr[-1], cs))
+            out[k] = out.get(k, 0) + 1
+    return out
+
+
+def _coloc_py(rows, cs):
+    pres = {(u, _cell(x, y, cs), t.date()) for u, t, x, y in rows}
+    out: dict[tuple[int, int], int] = {}
+    for ua, ca, ba in pres:
+        for ub, cb, bb in pres:
+            if ua < ub and ca == cb and ba == bb:
+                k = (ua, ub)
+                out[k] = out.get(k, 0) + 1
+    return out
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(ping_streams())
+def test_dwell_detect_matches_python(spark, rows):
+    out = tj.dwell_detect(_pings_df(spark, rows), cell_size=250.0, min_pings=2)
+    got = {
+        (r["user_id"], r["dwell_id"]): (
+            r["cell"], r["enter_ts"], r["exit_ts"], r["n_pings"])
+        for r in out.collect()
+    }
+    assert got == _dwell_py(rows, 250.0, 2)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(ping_streams())
+def test_od_matrix_matches_python(spark, rows):
+    out = tj.od_matrix(_pings_df(spark, rows), gap_s=1800, cell_size=250.0)
+    got = {(r["o_cell"], r["d_cell"]): r["n_trips"] for r in out.collect()}
+    assert got == _od_py(rows, 1800, 250.0)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(ping_streams())
+def test_colocation_matches_python(spark, rows):
+    out = tj.colocation_pairs(_pings_df(spark, rows), cell_size=250.0)
+    got = {(r["user_a"], r["user_b"]): r["n_events"] for r in out.collect()}
+    assert got == _coloc_py(rows, 250.0)
+
+
 def test_span_media_align_lookback(spark):
     # doc d1: text@0 text@2 text@4 media@1 media@3 media@5 media@7;
     # drop_mod=3 drops text whose offset % 6 == 0 (offsets 0, 6, ...)
