@@ -4,8 +4,8 @@ entry(spark)   — flagship: derive SGID-shaped inputs from sf0.001, pack
                  them into the interleaved span-document substrate, unpack,
                  run the alias pipeline and the spatial geocode match.
 queries()      — one entry per implemented operator (SURVEY.md §2 plus the
-                 LLM-curation surface). 98 entries total.
-oracle_sql()   — DuckDB-equivalent SQL for EVERY one of the 98 queries:
+                 LLM-curation surface). 99 entries total.
+oracle_sql()   — DuckDB-equivalent SQL for EVERY one of the 99 queries:
                  hash-based ops ride the portable polynomial hash
                  (functions/phash.py), the media stub's md5 arithmetic is
                  reproduced in SQL, the approximate IVF entry runs a
@@ -175,6 +175,7 @@ GATE_HISTORY: dict[str, tuple[int, ...]] = {
     "bfs_road_hops": (),
     "kde_heatmap": (),
     "span_media_align": (),
+    "spatial_block_split": (),
 }
 
 
@@ -480,6 +481,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["hash_split"] = lambda s, d: sampling.hash_split(
         _docs(s, d).select("doc_id")
     )
+    q["spatial_block_split"] = lambda s, d: sampling.spatial_block_split(
+        _pnts(s, d)
+    )
     q["stratified_sample"] = lambda s, d: sampling.stratified_sample(
         _docs(s, d).select("doc_id", "source"), "source", 50
     )
@@ -701,6 +705,9 @@ def oracle_sql() -> dict[str, str]:
     )
 
     o["hash_split"] = sampling.oracle_hash_split_sql(cols="doc_id")
+    o["spatial_block_split"] = _with(
+        *_split_body(sampling.oracle_spatial_block_split_sql()), P
+    )
     o["stratified_sample"] = sampling.oracle_stratified_sample_sql(
         "documents", "source", 50, cols="doc_id, source"
     )

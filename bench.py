@@ -210,6 +210,8 @@ def run_suite() -> dict:
     # 6 frontier rounds each writing/reading parquet barriers — min-of-2
     # keeps suite wall-clock bounded (same discipline as the streams)
     probe("q_bfs_hops", lambda: nwk.bfs_hops(roads).count(), rounds=2)
+    probe("q_spatial_block_split", lambda: sampling.spatial_block_split(
+        pnts).groupBy("split").count().collect())
     # streaming paths timed end-to-end (VERDICT r3 #6, r4 #6): full
     # availableNow drains incl. staging + checkpoint + per-batch work.
     # min-of-2: each run pays real stream-setup latency, keep suite

@@ -216,3 +216,140 @@ ws_ranked AS (
   FROM {table} WHERE {weight_col} > 0
 )
 SELECT {key}, {weight_col}, es_key FROM ws_ranked WHERE rn <= {n}"""
+
+
+def _patch_id_col(bx, by, patch: int):
+    """Packed patch id from fine block coords (floor-div by `patch`;
+    FLOOR over double is exact for |coord| < 2^26 and matches the
+    DuckDB spelling, unlike integer '/' which truncates toward zero)."""
+    from ..spatial.cells import CY_BIAS, PACK
+
+    px_ = F.floor(bx.cast("double") / float(patch)).cast("long")
+    py_ = F.floor(by.cast("double") / float(patch)).cast("long")
+    return px_ * F.lit(PACK) + py_ + F.lit(CY_BIAS)
+
+
+def spatial_block_split(
+    pts: DataFrame,
+    id_col: str = "objectid",
+    block_size: float = 500.0,
+    patch: int = 5,
+    ring: int = 1,
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """Leakage-free spatial train/val/test split (round 5).
+
+    Standard geospatial-ML practice: randomly splitting POINTS leaks —
+    a training point metres from a test point shares its spatial
+    signal. The unit of assignment here is a CONTIGUOUS PATCH (patch ×
+    patch fine blocks of block_size metres): every point gets its
+    patch's md5-hash label, and a would-be train point whose fine block
+    lies within `ring` Chebyshev fine blocks of a test patch is
+    relabeled 'buffer' (the exclusion band callers drop from training).
+    Patch-level assignment keeps test regions contiguous, so the buffer
+    is a patch-border band (~ring·4/patch of the test fraction), not
+    the 1-(1-p)^9 blanket a scattered per-block split would produce
+    (measured: 56% of all points at sf0.01 with scattered 2 km blocks
+    vs 11% with 5×5 patches — the first-cut design was methodologically
+    wrong, not just slow). Assignment is a pure function of
+    coordinates — incremental-safe like hash_split, and new data never
+    reshuffles old patches.
+
+    Plan: ONE narrow Project, no shuffle, no join — the neighbor check
+    evaluates the (2r+1)²-1 adjacent fine blocks' patch labels inline
+    (md5 per neighbor patch id, whole-stage codegen), so the operator
+    scales exactly like hash_split.
+
+    Returns (id_col, block, split) with split in
+    {train, val, test, buffer}; block is the FINE block id."""
+    from ..spatial.cells import CY_BIAS, PACK
+    from ..functions.phash import md5_prefix_value
+
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    labels = list(weights)
+    bounds = _cum_bounds(weights)
+    test_lo = bounds[-2][1] if len(bounds) > 1 else 0
+
+    bx = F.floor(F.col("px") / F.lit(float(block_size))).cast("long")
+    by = F.floor(F.col("py") / F.lit(float(block_size))).cast("long")
+    base = pts.select(
+        F.col(id_col),
+        bx.alias("bx"),
+        by.alias("by"),
+        (bx * F.lit(PACK) + by + F.lit(CY_BIAS)).alias("block"),
+    )
+
+    def bucket(pid):
+        return md5_prefix_value(F.md5(pid.cast("string")), 4)
+
+    expr = None
+    own = bucket(_patch_id_col(F.col("bx"), F.col("by"), patch))
+    for label, hi in bounds:
+        cond = own < F.lit(hi)
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
+    near_test = F.lit(False)
+    for dx in range(-ring, ring + 1):
+        for dy in range(-ring, ring + 1):
+            if dx == 0 and dy == 0:
+                continue
+            nb = bucket(_patch_id_col(F.col("bx") + dx, F.col("by") + dy, patch))
+            near_test = near_test | (nb >= F.lit(test_lo))
+    split = F.when(
+        (expr == F.lit(labels[0])) & near_test, F.lit("buffer")
+    ).otherwise(expr)
+    return base.select(id_col, "block", split.alias("split"))
+
+
+def oracle_spatial_block_split_sql(
+    table: str = "addrpnts",
+    id_col: str = "objectid",
+    block_size: float = 500.0,
+    patch: int = 5,
+    ring: int = 1,
+    weights: dict[str, float] | None = None,
+) -> str:
+    """DuckDB oracle: identical fine-block / patch / bucket / neighbor
+    arithmetic, spelled with the shared SQL subset (FLOOR over DOUBLE,
+    md5-prefix buckets). Needs the source-point CTE in scope."""
+    from ..spatial.cells import CY_BIAS, PACK
+
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    labels = list(weights)
+    bounds = _cum_bounds(weights)
+    test_lo = bounds[-2][1] if len(bounds) > 1 else 0
+
+    def pid(dx: int, dy: int) -> str:
+        return (
+            f"CAST(FLOOR(CAST(bx + {dx} AS DOUBLE) / {float(patch)}) AS BIGINT)"
+            f" * {PACK} + "
+            f"CAST(FLOOR(CAST(by + {dy} AS DOUBLE) / {float(patch)}) AS BIGINT)"
+            f" + {CY_BIAS}"
+        )
+
+    cases = " ".join(
+        f"WHEN ({_bucket_sql(pid(0, 0))}) < {hi} THEN '{label}'"
+        for label, hi in bounds
+    )
+    near = " OR ".join(
+        f"({_bucket_sql(pid(dx, dy))}) >= {test_lo}"
+        for dx in range(-ring, ring + 1)
+        for dy in range(-ring, ring + 1)
+        if not (dx == 0 and dy == 0)
+    )
+    return f"""
+sbs_pts AS (
+  SELECT {id_col},
+         CAST(FLOOR(px / {float(block_size)}) AS BIGINT) AS bx,
+         CAST(FLOOR(py / {float(block_size)}) AS BIGINT) AS by
+  FROM {table}
+),
+sbs_lab AS (
+  SELECT {id_col}, bx * {PACK} + by + {CY_BIAS} AS block,
+         CASE {cases} END AS split0,
+         ({near}) AS near_test
+  FROM sbs_pts
+)
+SELECT {id_col}, block,
+       CASE WHEN split0 = '{labels[0]}' AND near_test
+            THEN 'buffer' ELSE split0 END AS split
+FROM sbs_lab"""

@@ -238,6 +238,69 @@ SPAN_SCHEMA = StructType([
 ])
 
 
+def _sbs_py(rows, bs=500.0, patch=5, ring=1,
+            weights=(("train", 0.8), ("val", 0.1), ("test", 0.1))):
+    import hashlib
+
+    n_b = 1 << 16
+    bounds, acc = [], 0.0
+    for i, (lab, w) in enumerate(weights):
+        acc += w
+        bounds.append((lab, n_b if i == len(weights) - 1 else int(round(acc * n_b))))
+    test_lo = bounds[-2][1]
+
+    def bucket(pid):
+        return int(hashlib.md5(str(pid).encode()).hexdigest()[:4], 16)
+
+    def patch_id(bx, by):
+        return (math.floor(bx / patch) * PACK
+                + math.floor(by / patch) + CY_BIAS)
+
+    out = {}
+    for oid, x, y in rows:
+        bx, by = math.floor(x / bs), math.floor(y / bs)
+        b = bucket(patch_id(bx, by))
+        lab = next(l for l, hi in bounds if b < hi)
+        if lab == "train":
+            for dx in range(-ring, ring + 1):
+                for dy in range(-ring, ring + 1):
+                    if (dx or dy) and bucket(patch_id(bx + dx, by + dy)) >= test_lo:
+                        lab = "buffer"
+        out[oid] = (bx * PACK + by + CY_BIAS, lab)
+    return out
+
+
+def test_spatial_block_split_matches_python_and_leakage_free(spark):
+    from roadgrinder_spark.operators.sampling import spatial_block_split
+
+    # a 40x40 fine-block extent incl. negative coords (patch boundaries
+    # at odd offsets), one point per block corner region
+    rows = [
+        (i, -5000.0 + (i % 40) * 500.0 + 7.0, -5000.0 + (i // 40) * 500.0 + 3.0)
+        for i in range(1600)
+    ]
+    df = spark.createDataFrame(rows, "objectid long, px double, py double")
+    out = spatial_block_split(df)
+    got = {r["objectid"]: (r["block"], r["split"]) for r in out.collect()}
+    want = _sbs_py(rows)
+    assert got == want
+    # the leakage guarantee, re-derived independently: no train point has
+    # ANY ring-1 fine-block neighbor inside a test patch
+    labs = {oid: v[1] for oid, v in want.items()}
+    assert set(labs.values()) == {"train", "val", "test", "buffer"}
+    for oid, x, y in rows:
+        if labs[oid] != "train":
+            continue
+        bx, by = math.floor(x / 500.0), math.floor(y / 500.0)
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nb = _sbs_py([(0, (bx + dx) * 500.0 + 1.0, (by + dy) * 500.0 + 1.0)])[0][1]
+                assert nb != "test", (oid, dx, dy)
+    # scale contract: pure projection — no shuffle anywhere in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 # ---------------------------------------------------------------------------
 # property tests: randomized ping streams vs pure-Python third engines
 # (adversarial: duplicate timestamps, negative coords, cell-boundary
