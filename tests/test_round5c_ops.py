@@ -207,6 +207,14 @@ def test_bfs_hops_exact_levels(spark, tmp_path):
     assert got == exp
     assert 41 not in got          # island unreached (and not a seed)
     assert got[0] == 0 and got[20] == 0 and got[21] == 1
+    # odd hop cap (the two-level-per-barrier loop ends on a single
+    # step) + saturation early-exit, against the same python reference
+    out5 = nw.bfs_hops(
+        _roads_df(spark, segs), seed_mod=20, max_hops=5, snap_tol=tol,
+        work_dir=str(tmp_path / "bfs5"),
+    )
+    got5 = {r["road_id"]: r["hops"] for r in out5.collect()}
+    assert got5 == _py_bfs(segs, tol, seed_mod=20, max_hops=5)
 
 
 def test_kde_heatmap_matches_bruteforce(spark):
