@@ -260,7 +260,10 @@ def spatial_block_split(
     operator scales exactly like hash_split. md5 is the dominant per-row
     cost, so the check uses the patch-product identity: the (2r+1)²
     block neighborhood spans at most 2 patch columns × 2 patch rows
-    (for ring < patch), hence the distinct neighbor patches are exactly
+    (valid iff 2·ring < patch — enforced; a span longer than one patch
+    can straddle 3 columns and the corner check would silently skip the
+    middle one, re-introducing the leakage this op exists to prevent),
+    hence the distinct neighbor patches are exactly
     {px_lo,px_hi} × {py_lo,py_hi} — 4 bucket evaluations instead of 8
     (the own-patch term the product adds is vacuous: a train row's own
     bucket is below the test range by definition; output verified
@@ -295,10 +298,12 @@ def spatial_block_split(
     for label, hi in bounds:
         cond = own < F.lit(hi)
         expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
-    if ring >= patch:
+    if 2 * ring >= patch:
         raise ValueError(
-            f"ring ({ring}) must be < patch ({patch}) for the 2x2 "
-            "patch-product neighbor identity"
+            f"2*ring ({2 * ring}) must be < patch ({patch}) for the 2x2 "
+            "patch-product neighbor identity: a (2*ring+1)-block span can "
+            "touch 3 patch columns once it exceeds patch blocks, and the "
+            "4-corner check would miss the middle column (ADVICE r5)"
         )
     from ..spatial.cells import CY_BIAS as _CYB, PACK as _PK
 
@@ -329,6 +334,11 @@ def oracle_spatial_block_split_sql(
     md5-prefix buckets). Needs the source-point CTE in scope."""
     from ..spatial.cells import CY_BIAS, PACK
 
+    if 2 * ring >= patch:
+        raise ValueError(
+            f"2*ring ({2 * ring}) must be < patch ({patch}) — same corner "
+            "identity bound as spatial_block_split (ADVICE r5)"
+        )
     weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
     labels = list(weights)
     bounds = _cum_bounds(weights)

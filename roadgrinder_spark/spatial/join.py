@@ -153,7 +153,14 @@ def knn_join(
     cover side outgrows broadcast thresholds at corpus scale. Pass
     'broadcast' to restore the old plan for small-dim cases.
     """
-    assert radius_m <= cell_size, "lossless pruning needs radius <= cell_size"
+    if radius_m > cell_size:
+        # ValueError, not assert: python -O strips asserts, and a violating
+        # caller would silently lose matches past the ring-1 cover
+        # (orphan_points would then report FALSE orphans — ADVICE r5).
+        raise ValueError(
+            f"lossless pruning needs radius_m ({radius_m}) <= cell_size "
+            f"({cell_size})"
+        )
     pts = points.select(
         F.col("objectid").alias("point_id"),
         "px",
@@ -852,7 +859,14 @@ def orphan_points(
     the full point set. The anti-join is a hash join on the point id —
     the matched-id set is a single BIGINT column, far below the point
     payload the naive not-exists plan would re-shuffle."""
-    assert radius_m <= cell_size, "lossless pruning needs radius <= cell_size"
+    if radius_m > cell_size:
+        # ValueError, not assert: python -O strips asserts, and a violating
+        # caller would silently lose matches past the ring-1 cover
+        # (orphan_points would then report FALSE orphans — ADVICE r5).
+        raise ValueError(
+            f"lossless pruning needs radius_m ({radius_m}) <= cell_size "
+            f"({cell_size})"
+        )
     pts = points.select(
         F.col("objectid").alias("point_id"),
         "px",

@@ -32,26 +32,45 @@ from .join import DEFAULT_RADIUS_M, dist2_select_sql, knn_join
 #: stream and nearest-road runs genuinely alternate — the first cut kept
 #: users inside one block and collapsed to ~1 run per user, vacuous),
 #: plus sub-block jitter. All terms are multiples of 6.25 m.
-PINGS_CTE = """
+#: the px/py derivation expressions, shared verbatim by the DuckDB CTE
+#: below and the Spark selectExpr in derive_pings — single source of
+#: truth, and derive_pings no longer registers any temp view (ADVICE r5:
+#: createOrReplaceTempView('events') on every call clobbered session-
+#: global catalog state under a generic name).
+_PX_EXPR = (
+    "CAST(400000 + ((user_id * 11"
+    " + CAST(FLOOR(event_id / 150) AS BIGINT)) % 200) * 250"
+    " + (event_id % 5) * 6.25 AS DOUBLE)"
+)
+_PY_EXPR = (
+    "CAST(4500000 + ((user_id * 17"
+    " + CAST(FLOOR(event_id / 250) AS BIGINT)) % 200) * 250"
+    " + (event_id % 3) * 12.5 AS DOUBLE)"
+)
+
+PINGS_CTE = f"""
 pings AS (
   SELECT event_id AS ping_id, user_id, ts,
-         CAST(400000 + ((user_id * 11
-              + CAST(FLOOR(event_id / 150) AS BIGINT)) % 200) * 250
-              + (event_id % 5) * 6.25 AS DOUBLE) AS px,
-         CAST(4500000 + ((user_id * 17
-              + CAST(FLOOR(event_id / 250) AS BIGINT)) % 200) * 250
-              + (event_id % 3) * 12.5 AS DOUBLE) AS py
+         {_PX_EXPR} AS px,
+         {_PY_EXPR} AS py
   FROM events
 )
 """
 
 
 def derive_pings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(ping_id, user_id, ts, px, py) — deterministic function of events."""
-    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView(
-        "events"
+    """(ping_id, user_id, ts, px, py) — deterministic function of events.
+
+    Pure column expressions over the parquet read: no temp-view
+    registration, so callers' catalog state is untouched (ADVICE r5)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.selectExpr(
+        "event_id AS ping_id",
+        "user_id",
+        "ts",
+        f"{_PX_EXPR} AS px",
+        f"{_PY_EXPR} AS py",
     )
-    return spark.sql(f"WITH {PINGS_CTE} SELECT * FROM pings")
 
 
 def route_snap(

@@ -25,9 +25,20 @@ def test_window_layout():
     o = entry_mod.oracle_sql()
     missing = [k for k in q if k not in o]
     assert not missing, f"queries without oracle SQL: {missing}"
-    # GATE_HISTORY covers exactly the registered queries (a new op must
-    # land in the history table with an empty tuple; stale keys rot)
-    assert set(entry_mod.GATE_HISTORY) == set(q)
+    # GATE_HISTORY is DERIVED from the committed CORRECTNESS_r*.json
+    # artifacts at import (round 6, VERDICT r5 #7) — re-derive it here
+    # independently and assert equality, so a loader regression or a
+    # missing artifact can't silently mis-rotate the window.
+    assert entry_mod.GATE_HISTORY == entry_mod._load_gate_history()
+    assert entry_mod.GATE_HISTORY, "no CORRECTNESS artifacts found"
+    # history keys not registered as queries must be exactly the
+    # documented retirements — an accidentally dropped entry would show
+    # up here, not vanish quietly
+    gone = set(entry_mod.GATE_HISTORY) - set(q)
+    assert gone == set(entry_mod.RETIRED_VARIANTS), (
+        f"gate entries missing without a documented retirement: "
+        f"{gone - set(entry_mod.RETIRED_VARIANTS)}"
+    )
     # ordering IS the documented rotation rule — nothing hand-curated
     assert list(q) == entry_mod.rotation_order(list(entry_mod._all_queries()))
     window = set(list(q)[: entry_mod.GATE_WINDOW])
@@ -37,9 +48,6 @@ def test_window_layout():
     # the 2-round guarantee holds: the tail is smaller than the window,
     # so whatever misses the window this round is stalest next round
     assert len(q) - entry_mod.GATE_WINDOW < entry_mod.GATE_WINDOW
-    # §2 carriers the r4 judge called out must be gated this round
-    for k in ("validation_counts", "constraint_audit"):
-        assert k in window, f"{k} fell out of the driver gate window"
     # and every entry whose last green row is 2+ rounds old is in the
     # window (stalest-first means nothing older can be skipped)
     cur = max(r for h in entry_mod.GATE_HISTORY.values() for r in h)

@@ -11,6 +11,8 @@ from __future__ import annotations
 import math
 from datetime import datetime, timedelta
 
+import pytest
+
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType, LongType, StringType, StructField, StructType, TimestampType,
@@ -307,6 +309,41 @@ def test_spatial_block_split_matches_python_and_leakage_free(spark):
     # scale contract: pure projection — no shuffle anywhere in the plan
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_spatial_block_split_ring2_matches_full_enumeration(spark):
+    """ADVICE r5: the 4-corner identity needs 2*ring < patch. ring=2,
+    patch=5 sits at the widest legal config (2*2 = 4 < 5); verify the
+    corner check against the full (2r+1)^2 python enumeration, which
+    would catch any missed middle-column patch."""
+    from roadgrinder_spark.operators.sampling import spatial_block_split
+
+    rows = [
+        (i, -5000.0 + (i % 40) * 500.0 + 7.0, -5000.0 + (i // 40) * 500.0 + 3.0)
+        for i in range(1600)
+    ]
+    df = spark.createDataFrame(rows, "objectid long, px double, py double")
+    out = spatial_block_split(df, ring=2)
+    got = {r["objectid"]: (r["block"], r["split"]) for r in out.collect()}
+    assert got == _sbs_py(rows, ring=2)
+
+
+def test_spatial_block_split_rejects_wide_ring(spark):
+    """ADVICE r5 (medium): patch <= 2*ring silently leaked before — the
+    guard must reject it in BOTH the engine and the oracle builder."""
+    from roadgrinder_spark.operators.sampling import (
+        oracle_spatial_block_split_sql,
+        spatial_block_split,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0)], "objectid long, px double, py double"
+    )
+    for patch, ring in ((5, 3), (4, 2), (3, 2)):
+        with pytest.raises(ValueError):
+            spatial_block_split(df, patch=patch, ring=ring)
+        with pytest.raises(ValueError):
+            oracle_spatial_block_split_sql(patch=patch, ring=ring)
 
 
 # ---------------------------------------------------------------------------
