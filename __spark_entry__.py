@@ -233,10 +233,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rasters, additive merge == batch rasterize)
     q["stream_tile_rollup"] = lambda s, d: sgate.drained_tile_rollup(s, d)
 
-    # -- multimodal (stubbed decode, real plumbing) ------------------------
+    # -- multimodal (round 6: REAL pixel decode — planted BMP/PPM blobs
+    # parsed with numpy; oracle recomputes the generation rule in SQL) ----
     q["media_features"] = lambda s, d: (ship_package(s), media.extract_media_features(
         _packed(s, d)
-    ).select("doc_id", "media_ref", "width", "height"))[1]
+    ))[1]
     q["media_resize"] = lambda s, d: (ship_package(s), media.resize_media(
         media.extract_media_features(_packed(s, d))
     ))[1]
