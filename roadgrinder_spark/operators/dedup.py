@@ -1123,3 +1123,124 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cos
 FROM lg_aug a JOIN lg_aug b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= {threshold}"""
+
+
+# ---------------------------------------------------------------------------
+# substring-level cross-doc dedup (round 6, VERDICT r5 #4): duplicated
+# >=k-char SPANS across documents — the granularity between exact-doc and
+# line/paragraph dedup that training-corpus curation standardizes on
+# (suffix-array span dedup a la Lee et al., here at k-gram resolution).
+#
+# Pipeline: char k-gram positions per doc -> global document frequency per
+# gram (distinct docs) -> keep grams shared by 2..max_df docs -> per-doc
+# interval merge of the hit positions (gap <= k keeps overlapping/touching
+# k-char windows in one island) -> spans with length >= min_len.
+#
+# Scale notes: one explode (L rows/doc — same budget fingerprint_frame's
+# oracle pays), one hash aggregate for DF, one semi-join back, one
+# per-doc window pass. The df cap (`max_df`) bounds hot-gram fanout
+# exactly as in ngram_jaccard. At 100 TB you sample the gram stream with
+# winnowing (fingerprint_frame's scheme WITH positions): per-window minima
+# cut volume by ~1/window and keep the Schleimer guarantee that any
+# duplicated span >= window + k - 1 chars still collides; the merge gap
+# then widens to window + k. The exact all-grams mode below is the gate
+# configuration (value-checkable, zero recall caveats). Keys are md5 of
+# the gram (portable across engines); a production run would fold to a
+# 64-bit fingerprint to shrink the shuffle.
+# ---------------------------------------------------------------------------
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+    max_df: int = 100,
+    min_len: int = 40,
+) -> DataFrame:
+    """(doc_id, span_start, span_end, span_len): maximal merged char
+    intervals covered by k-grams that appear in >= 2 (and <= max_df)
+    distinct documents; only spans >= min_len chars survive.
+    span_start/span_end are 1-based inclusive."""
+    from pyspark.sql import Window
+
+    from ..session import spread_input
+
+    grams = (
+        spread_input(docs)
+        .withColumn(
+            "_h",
+            F.expr(
+                f"transform(sequence(1, greatest(0, length({text_col}) - {k - 1})), "
+                f"i -> md5(CAST(substring({text_col}, i, {k}) AS BINARY)))"
+            ),
+        )
+        .select("doc_id", F.posexplode("_h").alias("pos0", "h"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    )
+    shared = (
+        grams.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= max_df))
+        .select("h")
+    )
+    hits = grams.join(shared, "h", "left_semi").select("doc_id", "pos").distinct()
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.lag("pos").over(w).isNull() | (F.col("pos") > F.lag("pos").over(w) + k),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    islands = hits.withColumn(
+        "island",
+        F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+        )
+        .withColumn("span_len", F.col("span_end") - F.col("span_start") + 1)
+        .filter(F.col("span_len") >= min_len)
+        .select("doc_id", "span_start", "span_end", "span_len")
+    )
+
+
+def oracle_duplicate_spans_sql(
+    k: int = 20, max_df: int = 100, min_len: int = 40
+) -> str:
+    """DuckDB mirror of duplicate_spans (documents view in scope)."""
+    return f"""
+sd_g AS (
+  SELECT d.doc_id, CAST(p.pos AS INT) AS pos,
+         md5(substring(d.text, CAST(p.pos AS INT), {k})) AS h
+  FROM documents d,
+       LATERAL (SELECT unnest(range(1, greatest(0, length(d.text) - {k - 1}) + 1)) AS pos) p
+),
+sd_shared AS (
+  SELECT h FROM sd_g GROUP BY h
+  HAVING count(DISTINCT doc_id) BETWEEN 2 AND {max_df}
+),
+sd_hits AS (
+  SELECT DISTINCT doc_id, pos FROM sd_g JOIN sd_shared USING (h)
+),
+sd_brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                OR pos > lag(pos) OVER w + {k} THEN 1 ELSE 0 END AS brk
+  FROM sd_hits
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sd_isl AS (
+  SELECT doc_id, pos,
+         CAST(sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS island
+  FROM sd_brk
+)
+SELECT doc_id, span_start, span_end, span_len FROM (
+  SELECT doc_id,
+         min(pos) AS span_start,
+         max(pos) + {k - 1} AS span_end,
+         max(pos) + {k - 1} - min(pos) + 1 AS span_len
+  FROM sd_isl GROUP BY doc_id, island
+) WHERE span_len >= {min_len}"""

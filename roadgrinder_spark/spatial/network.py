@@ -144,6 +144,159 @@ def bfs_hops(
     return visited
 
 
+def segment_weights(roads: DataFrame) -> DataFrame:
+    """(rid, w): segment length in integer decimetres — the edge-relax
+    weight. Integer weights make every path cost a bigint sum, so the
+    Spark rounds and the DuckDB unrolled levels agree bit-for-bit (no
+    float-accumulation-order risk). floor(sqrt(.)*10) is deterministic:
+    sqrt is correctly rounded IEEE in both engines."""
+    dx = F.col("x2") - F.col("x1")
+    dy = F.col("y2") - F.col("y1")
+    return roads.select(
+        F.col("objectid").alias("rid"),
+        F.floor(F.sqrt(dx * dx + dy * dy) * F.lit(10.0)).cast("long").alias("w"),
+    )
+
+
+_W_SQL = (
+    "CAST(FLOOR(sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1)) * 10.0)"
+    " AS BIGINT)"
+)
+
+
+def network_distance(
+    roads: DataFrame,
+    seed_mod: int = 97,
+    max_hops: int = 4,
+    snap_tol: float = DEFAULT_SNAP_TOL,
+    work_dir: str | None = None,
+) -> DataFrame:
+    """Edge-weighted network distance (VERDICT r5 #3): minimum-cost label
+    per road over paths of at most `max_hops` edges from the seed set,
+    where traversing the edge (u, v) costs w(v) = v's segment length in
+    decimetres. Returns (road_id, dist_dm) — the service-area metric the
+    locator context implies (bfs_hops upgraded from hop counts to
+    metres).
+
+    Exactness: this is bounded Bellman–Ford with the frontier
+    optimization — round h relaxes only roads improved in round h-1.
+    After K rounds the label equals min cost over <= K-edge paths: every
+    value present after h rounds is realized by some <= h-edge path
+    (each round appends one edge), and every <= h-edge path's cost is
+    reached because each strict-improvement prefix re-enters the
+    frontier the round it improves. The DuckDB oracle computes the same
+    function as K unrolled min-aggregate levels, so the semantics is
+    pinned engine-independently.
+
+    Scale design: edges (with dst weights joined on) are materialized
+    ONCE; each round is one equi-join (frontier x edges, shuffle bounded
+    by frontier size) + one min aggregate + one left join against the
+    current best labels, barriered through parquet like bfs_hops (the
+    localCheckpoint ~5x/round trap). `best` is rewritten per round —
+    O(V) rows x K rounds, the delta-stepping trade accepted for a flat
+    lineage; a 1000-executor run shards all of it by road_id."""
+    from ..session import tmpdir_removed_at_exit as _tmpdir
+
+    spark = roads.sparkSession
+    wd = work_dir or _tmpdir("rg_netdist_")
+    w = segment_weights(roads)
+    edges = (
+        road_edges(roads, snap_tol)
+        .join(w.withColumnRenamed("rid", "dst"), "dst")
+        .select("src", "dst", "w")
+    )
+    edges.write.mode("overwrite").parquet(f"{wd}/edges")
+    edges = spark.read.parquet(f"{wd}/edges")
+
+    seeds = roads.filter(F.col("objectid") % seed_mod == 0).select(
+        F.col("objectid").alias("road_id"),
+        F.lit(0).cast("long").alias("dist_dm"),
+    )
+    seeds.write.mode("overwrite").parquet(f"{wd}/best0")
+    best = spark.read.parquet(f"{wd}/best0")
+    frontier = best
+    for h in range(1, max_hops + 1):
+        cand = (
+            frontier.join(edges, frontier["road_id"] == edges["src"])
+            .select(
+                F.col("dst").alias("road_id"),
+                (F.col("dist_dm") + F.col("w")).alias("cand_dm"),
+            )
+            .groupBy("road_id")
+            .agg(F.min("cand_dm").alias("cand_dm"))
+        )
+        improved = (
+            cand.join(best, "road_id", "left")
+            .filter(F.col("dist_dm").isNull() | (F.col("cand_dm") < F.col("dist_dm")))
+            .select("road_id", F.col("cand_dm").alias("dist_dm"))
+        )
+        fpath = f"{wd}/front{h}"
+        improved.write.mode("overwrite").parquet(fpath)
+        frontier = spark.read.parquet(fpath)
+        if frontier.limit(1).count() == 0:
+            break
+        nxt = best.join(frontier, "road_id", "left_anti").unionByName(frontier)
+        bpath = f"{wd}/best{h}"
+        nxt.write.mode("overwrite").parquet(bpath)
+        best = spark.read.parquet(bpath)
+    return best
+
+
+def oracle_network_distance_sql(
+    seed_mod: int = 97,
+    max_hops: int = 4,
+    snap_tol: float = DEFAULT_SNAP_TOL,
+) -> str:
+    """DuckDB oracle: the same bounded Bellman–Ford as K UNROLLED
+    min-aggregate levels (d_h = min over d_{h-1} and d_{h-1} relaxed by
+    one edge) — a recursive CTE cannot aggregate in the recursive part,
+    and the un-aggregated walk enumerates paths (exponential in a
+    weighted graph because distinct costs defeat UNION dedup). K is a
+    fixed parameter, so unrolling is exact, polynomial, and plain SQL.
+    Needs the roads CTE in scope."""
+    t = float(snap_tol)
+    parts = [
+        f"""
+nd_nodes AS (
+  SELECT objectid AS rid, x1 AS ex, y1 AS ey FROM roads
+  UNION ALL SELECT objectid, x2, y2 FROM roads
+),
+nd_w AS (SELECT objectid AS rid, {_W_SQL} AS w FROM roads),
+nd_edges AS MATERIALIZED (
+  SELECT e.src, e.dst, nw.w
+  FROM (
+    SELECT DISTINCT a.rid AS src, b.rid AS dst
+    FROM nd_nodes a JOIN nd_nodes b
+      ON b.ex BETWEEN a.ex - {t} AND a.ex + {t}
+     AND b.ey BETWEEN a.ey - {t} AND a.ey + {t}
+    WHERE a.rid <> b.rid
+      AND (b.ex - a.ex) * (b.ex - a.ex)
+        + (b.ey - a.ey) * (b.ey - a.ey) <= {t * t}
+  ) e JOIN nd_w nw ON nw.rid = e.dst
+),
+nd_d0 AS (
+  SELECT objectid AS road_id, CAST(0 AS BIGINT) AS dist_dm
+  FROM roads WHERE objectid % {seed_mod} = 0
+)"""
+    ]
+    for h in range(1, max_hops + 1):
+        parts.append(
+            f""",
+nd_d{h} AS (
+  SELECT road_id, min(dist_dm) AS dist_dm FROM (
+    SELECT road_id, dist_dm FROM nd_d{h - 1}
+    UNION ALL
+    SELECT e.dst, d.dist_dm + e.w
+    FROM nd_d{h - 1} d JOIN nd_edges e ON e.src = d.road_id
+  ) GROUP BY road_id
+)"""
+        )
+    return (
+        "".join(parts)
+        + f"\nSELECT road_id, dist_dm FROM nd_d{max_hops}"
+    )
+
+
 def oracle_bfs_sql(
     seed_mod: int = 97,
     max_hops: int = 6,
