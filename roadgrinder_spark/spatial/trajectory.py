@@ -378,3 +378,317 @@ SELECT a.user_id AS user_a, b.user_id AS user_b, count(*) AS n_events
 FROM cl_pres a JOIN cl_pres b
   ON a.cell = b.cell AND a.bucket = b.bucket AND a.user_id < b.user_id
 GROUP BY a.user_id, b.user_id"""
+
+
+# ---------------------------------------------------------------------------
+# round 6 (VERDICT r5 #6): HMM map-matching — route_snap's top-1 snap
+# breaks at intersections (a noisy ping near a crossing street snaps to
+# the wrong road); a Viterbi pass over the per-user candidate sequence
+# recovers the coherent route. Scoring is ALL-INTEGER so the DuckDB
+# oracle reproduces the argmin exactly:
+#   emission(candidate)   = rank - 1   (0 best, 1, 2; rank by (dist2, id))
+#   emission(no road)     = 0          (single NULL candidate)
+#   transition(r, r)      = 0
+#   transition(r, r') adjacent in the snap-tolerance road graph = HMM_TR_ADJ
+#   transition(NULL, NULL) = 0; one side NULL = HMM_TR_NULL
+#   transition otherwise  = HMM_TR_JUMP
+# Sequences are CHUNKED into windows of HMM_CHUNK pings and Viterbi runs
+# exactly within each chunk (the documented approximation: boundary
+# transitions between chunks are not scored — the price for an oracle
+# that can enumerate paths; full-sequence Viterbi is the same kernel
+# with chunk >= max sequence length, pytest-covered only). Tie-break:
+# lexicographically smallest road sequence among minimum-cost paths,
+# NULL ordered last (sentinel 2^62) — both engines implement this order.
+#
+# Scale design: candidates come from the cell-cover kNN join; transition
+# costs are PRE-JOINED per consecutive candidate pair (k^2 * (chunk-1)
+# rows per chunk) against the materialized road adjacency, so the Arrow
+# kernel receives everything it needs per (user, chunk) group and the
+# global edge set never ships to Python. The kernel is O(chunk * k^2)
+# per group. One cogroup shuffle by (user_id, chunk) — bounded state,
+# no driver collect.
+# ---------------------------------------------------------------------------
+
+HMM_CHUNK = 5
+HMM_TR_ADJ = 1
+HMM_TR_NULL = 3
+HMM_TR_JUMP = 5
+HMM_NULL_SENTINEL = 1 << 62
+
+
+def _hmm_tr_case(rp, rn, adj):
+    return (
+        F.when(rp.isNull() & rn.isNull(), F.lit(0))
+        .when(rp.isNull() | rn.isNull(), F.lit(HMM_TR_NULL))
+        .when(rp == rn, F.lit(0))
+        .when(adj.isNotNull(), F.lit(HMM_TR_ADJ))
+        .otherwise(F.lit(HMM_TR_JUMP))
+    )
+
+
+def route_match_hmm(
+    pings: DataFrame,
+    roads: DataFrame,
+    k: int = 3,
+    radius_m: float = DEFAULT_RADIUS_M,
+    chunk: int = HMM_CHUNK,
+    snap_tol: float | None = None,
+) -> DataFrame:
+    """(user_id, ping_id, road_id): per-ping road assignment from exact
+    within-chunk Viterbi over top-k candidates. road_id is NULL for
+    pings with no road within radius_m."""
+    import pandas as pd
+
+    from .network import DEFAULT_SNAP_TOL, road_edges
+
+    snap = DEFAULT_SNAP_TOL if snap_tol is None else snap_tol
+    w = Window.partitionBy("user_id").orderBy("ts", "ping_id")
+    seq = (
+        pings.select("user_id", "ts", "ping_id")
+        .withColumn("idx", F.row_number().over(w))
+        .withColumn(
+            "chunk", F.floor((F.col("idx") - 1) / F.lit(chunk)).cast("long")
+        )
+        .withColumn("cpos", ((F.col("idx") - 1) % chunk + 1).cast("int"))
+        .drop("idx", "ts")
+    )
+    knn = knn_join(
+        pings.select(F.col("ping_id").alias("objectid"), "px", "py"),
+        roads,
+        k=k,
+        radius_m=radius_m,
+    ).select(
+        F.col("point_id").alias("ping_id"),
+        "road_id",
+        (F.col("rank") - 1).alias("e"),
+    )
+    cands = seq.join(knn, "ping_id", "left").select(
+        "user_id",
+        "chunk",
+        "cpos",
+        "ping_id",
+        "road_id",
+        F.coalesce(F.col("e"), F.lit(0)).alias("e"),
+    )
+    # disjoint intermediate names per side — cands joined with itself
+    # trips Spark's ambiguous-self-join check on shared attribute ids
+    a = cands.select(
+        F.col("user_id").alias("_au"),
+        F.col("chunk").alias("_ac"),
+        (F.col("cpos") + 1).alias("_ap"),
+        F.col("road_id").alias("rp"),
+    )
+    b = cands.select(
+        F.col("user_id").alias("_bu"),
+        F.col("chunk").alias("_bc"),
+        F.col("cpos").alias("_bp"),
+        F.col("road_id").alias("rn"),
+    )
+    adj = road_edges(roads, snap).select(
+        F.col("src").alias("rp"), F.col("dst").alias("rn"), F.lit(1).alias("adj")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("_au") == F.col("_bu"))
+            & (F.col("_ac") == F.col("_bc"))
+            & (F.col("_ap") == F.col("_bp")),
+        )
+        .join(adj, ["rp", "rn"], "left")
+        .select(
+            F.col("_au").alias("user_id"),
+            F.col("_ac").alias("chunk"),
+            F.col("_ap").alias("cpos"),
+            "rp",
+            "rn",
+            _hmm_tr_case(F.col("rp"), F.col("rn"), F.col("adj")).alias("tr"),
+        )
+    )
+
+    SENT = HMM_NULL_SENTINEL
+
+    def _viterbi(cdf: pd.DataFrame, pdf: pd.DataFrame) -> pd.DataFrame:
+        if cdf.empty:
+            return pd.DataFrame(
+                {"user_id": [], "ping_id": [], "road_id": []}
+            ).astype({"user_id": "int64", "ping_id": "int64", "road_id": "float64"})
+        uid = int(cdf["user_id"].iloc[0])
+        by_pos: dict[int, dict[int, int]] = {}
+        ping_at: dict[int, int] = {}
+        for cpos, pid, rid, e in zip(
+            cdf["cpos"], cdf["ping_id"], cdf["road_id"], cdf["e"]
+        ):
+            r = SENT if pd.isna(rid) else int(rid)
+            by_pos.setdefault(int(cpos), {})[r] = int(e)
+            ping_at[int(cpos)] = int(pid)
+        trmap: dict[tuple[int, int, int], int] = {}
+        for cpos, rp, rn, tr in zip(pdf["cpos"], pdf["rp"], pdf["rn"], pdf["tr"]):
+            kp = SENT if pd.isna(rp) else int(rp)
+            kn = SENT if pd.isna(rn) else int(rn)
+            trmap[(int(cpos), kp, kn)] = int(tr)
+        poss = sorted(by_pos)
+        L = len(poss)
+        # backward suffix DP: S[i][r] = min cost of the path r@i .. end
+        # (emissions from i on + transitions from i on)
+        S: list[dict[int, int]] = [dict() for _ in range(L)]
+        for i in range(L - 1, -1, -1):
+            p = poss[i]
+            for r, e in by_pos[p].items():
+                if i == L - 1:
+                    S[i][r] = e
+                else:
+                    pn = poss[i + 1]
+                    S[i][r] = e + min(
+                        trmap[(pn, r, r2)] + S[i + 1][r2] for r2 in S[i + 1]
+                    )
+        total = min(S[0].values())
+        # greedy forward reconstruct: smallest road (sentinel order) whose
+        # suffix still realizes the optimum — the lexicographically
+        # smallest minimum-cost path, matching the oracle's ORDER BY
+        out_p, out_r = [], []
+        rem = total
+        prev: int | None = None
+        for i, p in enumerate(poss):
+            for r in sorted(S[i]):
+                t = 0 if prev is None else trmap[(p, prev, r)]
+                if t + S[i][r] == rem:
+                    out_p.append(ping_at[p])
+                    out_r.append(None if r == SENT else r)
+                    rem = rem - t - by_pos[p][r]
+                    prev = r
+                    break
+        return pd.DataFrame(
+            {
+                "user_id": [uid] * L,
+                "ping_id": out_p,
+                "road_id": pd.array(out_r, dtype="Int64"),
+            }
+        )
+
+    def _fn(key, cdf, pdf):
+        return _viterbi(cdf, pdf)
+
+    return (
+        cands.groupBy("user_id", "chunk")
+        .cogroup(pairs.groupBy("user_id", "chunk"))
+        .applyInPandas(_fn, "user_id bigint, ping_id bigint, road_id bigint")
+    )
+
+
+def oracle_route_match_hmm_sql(
+    k: int = 3,
+    radius_m: float = DEFAULT_RADIUS_M,
+    chunk: int = HMM_CHUNK,
+    snap_tol: float = 150.0,
+) -> str:
+    """DuckDB oracle: within-chunk Viterbi as EXPLICIT path enumeration —
+    one block per chunk length L in 1..chunk (an L-way self-join over the
+    candidate CTE, <= k^L paths per chunk), summed integer cost, pick
+    row 1 per chunk ordered by (cost, sentinel-coalesced road sequence),
+    then unpivot the winning path back to per-ping rows. Exponential in
+    `chunk` — chunk is a small fixed parameter, the oracle is a spec.
+    Needs roads + pings CTEs in scope."""
+    r = float(radius_m)
+    t = float(snap_tol)
+    sent = HMM_NULL_SENTINEL
+
+    def tr_case(i: int, j: int) -> str:
+        return (
+            f"CASE WHEN c{i}.road_id IS NULL AND c{j}.road_id IS NULL THEN 0 "
+            f"WHEN c{i}.road_id IS NULL OR c{j}.road_id IS NULL THEN {HMM_TR_NULL} "
+            f"WHEN c{i}.road_id = c{j}.road_id THEN 0 "
+            f"WHEN e{i}{j}.src IS NOT NULL THEN {HMM_TR_ADJ} "
+            f"ELSE {HMM_TR_JUMP} END"
+        )
+
+    blocks = []
+    unions = []
+    for L in range(1, chunk + 1):
+        sel_cols = ", ".join(
+            f"c{i}.ping_id AS g{i}, c{i}.road_id AS r{i}" for i in range(1, L + 1)
+        )
+        cost = " + ".join(f"c{i}.e" for i in range(1, L + 1))
+        if L > 1:
+            cost += " + " + " + ".join(
+                tr_case(i, i + 1) for i in range(1, L)
+            )
+        joins = "".join(
+            f"\n  JOIN hm_cand c{i} ON c{i}.user_id = c1.user_id"
+            f" AND c{i}.chunk = c1.chunk AND c{i}.cpos = {i}"
+            for i in range(2, L + 1)
+        ) + "".join(
+            f"\n  LEFT JOIN hm_edges e{i}{i + 1} ON e{i}{i + 1}.src = c{i}.road_id"
+            f" AND e{i}{i + 1}.dst = c{i + 1}.road_id"
+            for i in range(1, L)
+        )
+        order = ", ".join(f"coalesce(r{i}, {sent})" for i in range(1, L + 1))
+        blocks.append(
+            f"""hm_b{L} AS (
+  SELECT c1.user_id, c1.chunk, {sel_cols}, ({cost}) AS cost
+  FROM hm_cand c1{joins}
+  JOIN hm_len l ON l.user_id = c1.user_id AND l.chunk = c1.chunk AND l.len = {L}
+  WHERE c1.cpos = 1
+),
+hm_w{L} AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, chunk
+                                 ORDER BY cost, {order}) AS rk
+    FROM hm_b{L}
+  ) WHERE rk = 1
+)"""
+        )
+        unions.extend(
+            f"SELECT user_id, g{i} AS ping_id, r{i} AS road_id FROM hm_w{L}"
+            for i in range(1, L + 1)
+        )
+    return f"""
+hm_seq AS (
+  SELECT user_id, ping_id,
+         CAST(FLOOR((idx - 1) / {chunk}) AS BIGINT) AS chunk,
+         CAST((idx - 1) % {chunk} + 1 AS INT) AS cpos
+  FROM (
+    SELECT user_id, ping_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, ping_id) AS idx
+    FROM pings
+  )
+),
+hm_kc0 AS (
+  SELECT p.ping_id, r.objectid AS road_id, p.px, p.py,
+         r.x1, r.y1, r.x2, r.y2
+  FROM pings p JOIN roads r
+    ON p.px BETWEEN (CASE WHEN r.x1 < r.x2 THEN r.x1 ELSE r.x2 END) - {r}
+               AND (CASE WHEN r.x1 > r.x2 THEN r.x1 ELSE r.x2 END) + {r}
+   AND p.py BETWEEN (CASE WHEN r.y1 < r.y2 THEN r.y1 ELSE r.y2 END) - {r}
+               AND (CASE WHEN r.y1 > r.y2 THEN r.y1 ELSE r.y2 END) + {r}
+),
+hm_kc AS ({dist2_select_sql('hm_kc0')}),
+hm_knn AS (
+  SELECT ping_id, road_id, rank - 1 AS e FROM (
+    SELECT ping_id, road_id,
+           row_number() OVER (PARTITION BY ping_id ORDER BY dist2, road_id) AS rank
+    FROM hm_kc WHERE dist2 <= {r * r}
+  ) WHERE rank <= {k}
+),
+hm_cand AS (
+  SELECT s.user_id, s.chunk, s.cpos, s.ping_id, n.road_id,
+         coalesce(n.e, 0) AS e
+  FROM hm_seq s LEFT JOIN hm_knn n ON n.ping_id = s.ping_id
+),
+hm_len AS (
+  SELECT user_id, chunk, max(cpos) AS len FROM hm_cand GROUP BY user_id, chunk
+),
+hm_nodes AS (
+  SELECT objectid AS rid, x1 AS ex, y1 AS ey FROM roads
+  UNION ALL SELECT objectid, x2, y2 FROM roads
+),
+hm_edges AS MATERIALIZED (
+  SELECT DISTINCT a.rid AS src, b.rid AS dst
+  FROM hm_nodes a JOIN hm_nodes b
+    ON b.ex BETWEEN a.ex - {t} AND a.ex + {t}
+   AND b.ey BETWEEN a.ey - {t} AND a.ey + {t}
+  WHERE a.rid <> b.rid
+    AND (b.ex - a.ex) * (b.ex - a.ex)
+      + (b.ey - a.ey) * (b.ey - a.ey) <= {t * t}
+),
+{','.join(blocks)}
+{' UNION ALL '.join(unions)}"""

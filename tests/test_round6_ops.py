@@ -163,3 +163,140 @@ def test_duplicate_spans_self_repeat_not_cross_doc(spark):
         _mkdocs(spark, [(1, doc), (2, "y" * 200)]), k=20, min_len=40
     ).collect()
     assert out == []
+
+
+# ---------------------------------------------------------------------------
+# route_match_hmm: intersection recovery + independent python reference
+# ---------------------------------------------------------------------------
+
+
+def _mk_roads(spark, rows):
+    return spark.createDataFrame(
+        rows, "objectid bigint, x1 double, y1 double, x2 double, y2 double"
+    )
+
+
+def _mk_pings(spark, rows):
+    return spark.createDataFrame(
+        rows, "ping_id bigint, user_id bigint, ts bigint, px double, py double"
+    )
+
+
+def test_hmm_recovers_where_top1_snap_is_wrong(spark):
+    """A noisy ping near a crossing street top-1-snaps to the WRONG road;
+    the Viterbi pass keeps the coherent route (emission +1 beats two
+    non-adjacent transitions at +5 each)."""
+    from roadgrinder_spark.spatial.join import knn_join
+    from roadgrinder_spark.spatial.trajectory import route_match_hmm
+
+    roads = _mk_roads(
+        spark,
+        [(1, 0.0, 0.0, 1000.0, 0.0), (2, 500.0, 155.0, 500.0, 500.0)],
+    )
+    # user walks along road 1 at y=30; ping 3 drifts to (500, 80):
+    # dist to road 2 = 75 < dist to road 1 = 80
+    pings = _mk_pings(
+        spark,
+        [
+            (1, 7, 1, 100.0, 30.0),
+            (2, 7, 2, 300.0, 30.0),
+            (3, 7, 3, 500.0, 80.0),
+            (4, 7, 4, 700.0, 30.0),
+            (5, 7, 5, 900.0, 30.0),
+        ],
+    )
+    snap = {
+        r.point_id: r.road_id
+        for r in knn_join(
+            pings.selectExpr("ping_id AS objectid", "px", "py"), roads, k=1
+        ).collect()
+    }
+    assert snap[3] == 2, "precondition: top-1 snap picks the crossing road"
+    hmm = {
+        r.ping_id: r.road_id
+        for r in route_match_hmm(pings, roads).collect()
+    }
+    assert hmm == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def _py_dist2(px, py, x1, y1, x2, y2):
+    ax, ay = px - x1, py - y1
+    abx, aby = x2 - x1, y2 - y1
+    len2 = abx * abx + aby * aby
+    dot = ax * abx + ay * aby
+    t = 0.0 if dot <= 0.0 else (1.0 if dot >= len2 else dot / len2)
+    dx, dy = px - (x1 + t * abx), py - (y1 + t * aby)
+    return dx * dx + dy * dy
+
+
+def test_hmm_vs_python_enumeration(spark):
+    """Independent pure-python reference: brute-force candidates, brute
+    edges, exhaustive path enumeration per chunk with the same
+    (cost, lexicographic) argmin — no SQL, no cell cover."""
+    import itertools
+
+    from roadgrinder_spark import datagen
+    from roadgrinder_spark.spatial import trajectory as tj
+
+    roads = datagen.derive_roads(spark, SF_DIR)
+    pings = tj.derive_pings(spark, SF_DIR).filter("user_id % 17 = 3")
+    got = {
+        (r.user_id, r.ping_id): r.road_id
+        for r in tj.route_match_hmm(pings, roads).collect()
+    }
+
+    rp = roads.toPandas()
+    pp = pings.toPandas().sort_values(["user_id", "ts", "ping_id"])
+    # brute adjacency (150 m endpoint snap)
+    import numpy as np
+
+    ex = np.concatenate([rp.x1.to_numpy(), rp.x2.to_numpy()])
+    ey = np.concatenate([rp.y1.to_numpy(), rp.y2.to_numpy()])
+    er = np.concatenate([rp.objectid.to_numpy()] * 2)
+    d2m = (ex[:, None] - ex[None, :]) ** 2 + (ey[:, None] - ey[None, :]) ** 2
+    ii, jj = np.nonzero(d2m <= 150.0 * 150.0)
+    adj = {
+        (int(er[i]), int(er[j]))
+        for i, j in zip(ii, jj)
+        if er[i] != er[j]
+    }
+    SENT = tj.HMM_NULL_SENTINEL
+
+    def cands(px, py):
+        ds = []
+        for r in rp.itertuples():
+            d2 = _py_dist2(px, py, r.x1, r.y1, r.x2, r.y2)
+            if d2 <= 100.0 * 100.0:
+                ds.append((d2, int(r.objectid)))
+        ds.sort()
+        out = [(rid, e) for e, (_, rid) in enumerate(ds[:3])]
+        return out or [(SENT, 0)]
+
+    def tr(a, b):
+        if a == SENT and b == SENT:
+            return 0
+        if a == SENT or b == SENT:
+            return tj.HMM_TR_NULL
+        if a == b:
+            return 0
+        if (a, b) in adj:
+            return tj.HMM_TR_ADJ
+        return tj.HMM_TR_JUMP
+
+    want = {}
+    for uid, grp in pp.groupby("user_id"):
+        rows = list(grp.itertuples())
+        for c0 in range(0, len(rows), tj.HMM_CHUNK):
+            ch = rows[c0 : c0 + tj.HMM_CHUNK]
+            cand_lists = [cands(r.px, r.py) for r in ch]
+            best = None
+            for path in itertools.product(*cand_lists):
+                cost = sum(e for _, e in path) + sum(
+                    tr(path[i][0], path[i + 1][0]) for i in range(len(path) - 1)
+                )
+                key = (cost,) + tuple(r for r, _ in path)
+                if best is None or key < best:
+                    best = key
+            for r, rid in zip(ch, best[1:]):
+                want[(int(uid), int(r.ping_id))] = None if rid == SENT else rid
+    assert got == want
