@@ -210,6 +210,15 @@ def run_suite() -> dict:
     # 6 frontier rounds each writing/reading parquet barriers — min-of-2
     # keeps suite wall-clock bounded (same discipline as the streams)
     probe("q_bfs_hops", lambda: nwk.bfs_hops(roads).count(), rounds=2)
+    # round 6: weighted shortest path (4 barriered relax rounds), HMM
+    # map-matching (cogroup Viterbi kernel), substring span dedup
+    probe("q_network_distance",
+          lambda: nwk.network_distance(roads).agg(
+              F.sum("dist_dm"), F.count(F.lit(1))).collect(), rounds=2)
+    probe("q_route_match_hmm", lambda: tj.route_match_hmm(pings, roads).agg(
+        F.sum("road_id"), F.count(F.lit(1))).collect())
+    probe("q_span_dedup", lambda: dedup.duplicate_spans(docs).agg(
+        F.sum("span_len"), F.count(F.lit(1))).collect())
     probe("q_spatial_block_split", lambda: sampling.spatial_block_split(
         pnts).groupBy("split").count().collect())
     # streaming paths timed end-to-end (VERDICT r3 #6, r4 #6): full
@@ -282,9 +291,9 @@ def run_suite() -> dict:
         "checkable_variant_recall": round(len(bf & ck) / max(1, len(bf)), 3),
     }
     spark.stop()
-    shutil.rmtree(mat, ignore_errors=True)
 
     return {
+        "mat_dir": mat,
         "timings": timings,
         "timings_median": timings_median,
         "ab_variants": ab_variants,
@@ -295,6 +304,42 @@ def run_suite() -> dict:
             "sec": round(flag_sec, 3),
             "matched_per_sec": round(n_matched / flag_sec, 1) if flag_sec else 0.0,
         },
+    }
+
+
+def run_flagship_isolated(mat: str, rounds: int = 5) -> dict:
+    """Best-of-N flagship probe in a FRESH session with NOTHING else
+    running (VERDICT r5 #5): the r5 driver run sampled the flagship at
+    15.4 k matched/s — below even the local band — because the suite's
+    interleaved sampling shares the JVM (GC, shuffle dirs, code cache)
+    with 40 other probes and the box has steal phases. This probe is the
+    graded artifact's steal-resistant second opinion: same plan, same
+    materialized inputs, best of `rounds` back-to-back runs, own JVM."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from roadgrinder_spark.operators import roadgrinder as rg
+    from roadgrinder_spark.session import build_session
+    from roadgrinder_spark.spatial import join as sj
+
+    spark = build_session(
+        app_name="rg-bench-flagship", master=f"local[{CPUS}]"
+    )
+    roads = spark.read.parquet(f"{mat}/roads")
+    pnts = spark.read.parquet(f"{mat}/pnts")
+    gcr = rg.explode_aliases(roads).geocode_roads
+    best, matched = None, 0
+    for _ in range(rounds):
+        t0 = time.time()
+        matched = sj.geocode_match(pnts, gcr).count()
+        dt = time.time() - t0
+        if best is None or dt < best:
+            best = dt
+    spark.stop()
+    return {
+        "matched": matched,
+        "sec": round(best, 3),
+        "matched_per_sec": round(matched / best, 1) if best else 0.0,
+        "rounds": rounds,
     }
 
 
@@ -582,6 +627,12 @@ def run_skew_attr() -> dict:
 def main() -> None:
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     suite = run_suite()
+    # isolated flagship runs immediately after the suite JVM exits, on
+    # the suite's materialized inputs, before anything else competes
+    import shutil
+
+    flagship_isolated = run_flagship_isolated(suite["mat_dir"])
+    shutil.rmtree(suite.pop("mat_dir"), ignore_errors=True)
     scaling = run_scaling() if RUN_SCALING else {}
     skew = run_skew() if RUN_SCALING else {}
     skew_attr = run_skew_attr() if RUN_SCALING else {}
@@ -595,6 +646,23 @@ def main() -> None:
         "ab_variants": suite["ab_variants"],
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "flagship": suite["flagship"],
+        "flagship_isolated": flagship_isolated,
+        # self-flagging (VERDICT r5 #5): >1.5x spread between the suite
+        # sample and the isolated best-of-N means one of them was stolen
+        "flagship_discrepancy": round(
+            max(
+                flagship_isolated["matched_per_sec"],
+                suite["flagship"]["matched_per_sec"],
+            )
+            / max(
+                1.0,
+                min(
+                    flagship_isolated["matched_per_sec"],
+                    suite["flagship"]["matched_per_sec"],
+                ),
+            ),
+            2,
+        ),
         "ann": suite["ann"],
         "scaling": scaling,
         "skew": skew,

@@ -470,6 +470,16 @@ def route_match_hmm(
         "road_id",
         F.coalesce(F.col("e"), F.lit(0)).alias("e"),
     )
+    # materialize the candidate frame ONCE: it feeds the pair self-join
+    # (twice) and the cogroup, and Spark re-executes the whole kNN +
+    # window subplan per reference otherwise (measured 4x = 13.9 s at
+    # sf0.01; one barrier cuts the op to ~1/3). Parquet round-trip per
+    # the repo's localCheckpoint lesson.
+    from ..session import tmpdir_removed_at_exit as _tmpdir
+
+    wd = _tmpdir("rg_hmm_")
+    cands.write.mode("overwrite").parquet(f"{wd}/cands")
+    cands = pings.sparkSession.read.parquet(f"{wd}/cands")
     # disjoint intermediate names per side — cands joined with itself
     # trips Spark's ambiguous-self-join check on shared attribute ids
     a = cands.select(
@@ -507,25 +517,7 @@ def route_match_hmm(
 
     SENT = HMM_NULL_SENTINEL
 
-    def _viterbi(cdf: pd.DataFrame, pdf: pd.DataFrame) -> pd.DataFrame:
-        if cdf.empty:
-            return pd.DataFrame(
-                {"user_id": [], "ping_id": [], "road_id": []}
-            ).astype({"user_id": "int64", "ping_id": "int64", "road_id": "float64"})
-        uid = int(cdf["user_id"].iloc[0])
-        by_pos: dict[int, dict[int, int]] = {}
-        ping_at: dict[int, int] = {}
-        for cpos, pid, rid, e in zip(
-            cdf["cpos"], cdf["ping_id"], cdf["road_id"], cdf["e"]
-        ):
-            r = SENT if pd.isna(rid) else int(rid)
-            by_pos.setdefault(int(cpos), {})[r] = int(e)
-            ping_at[int(cpos)] = int(pid)
-        trmap: dict[tuple[int, int, int], int] = {}
-        for cpos, rp, rn, tr in zip(pdf["cpos"], pdf["rp"], pdf["rn"], pdf["tr"]):
-            kp = SENT if pd.isna(rp) else int(rp)
-            kn = SENT if pd.isna(rn) else int(rn)
-            trmap[(int(cpos), kp, kn)] = int(tr)
+    def _viterbi_chunk(by_pos, ping_at, trmap, out_p, out_r):
         poss = sorted(by_pos)
         L = len(poss)
         # backward suffix DP: S[i][r] = min cost of the path r@i .. end
@@ -545,7 +537,6 @@ def route_match_hmm(
         # greedy forward reconstruct: smallest road (sentinel order) whose
         # suffix still realizes the optimum — the lexicographically
         # smallest minimum-cost path, matching the oracle's ORDER BY
-        out_p, out_r = [], []
         rem = total
         prev: int | None = None
         for i, p in enumerate(poss):
@@ -557,21 +548,57 @@ def route_match_hmm(
                     rem = rem - t - by_pos[p][r]
                     prev = r
                     break
+
+    def _user(key, cdf: pd.DataFrame, pdf: pd.DataFrame) -> pd.DataFrame:
+        # ONE Arrow round-trip per user, chunks looped in python — a
+        # per-(user, chunk) cogroup measured 5.5 ms/group of pure Arrow
+        # batch overhead (11.4 s for 2k groups with a TRIVIAL kernel at
+        # sf0.01, worse because AQE coalesced the tiny shuffle to one
+        # partition); per-user grouping cuts group count by ~chunk x
+        # users' chunks and the explicit repartition below keeps the
+        # stage parallel.
+        if cdf.empty:
+            return pd.DataFrame(
+                {"user_id": [], "ping_id": [], "road_id": []}
+            ).astype({"user_id": "int64", "ping_id": "int64", "road_id": "float64"})
+        uid = int(cdf["user_id"].iloc[0])
+        by_chunk: dict[int, tuple[dict, dict]] = {}
+        for ck, cpos, pid, rid, e in zip(
+            cdf["chunk"], cdf["cpos"], cdf["ping_id"], cdf["road_id"], cdf["e"]
+        ):
+            r = SENT if pd.isna(rid) else int(rid)
+            bp, pa = by_chunk.setdefault(int(ck), ({}, {}))
+            bp.setdefault(int(cpos), {})[r] = int(e)
+            pa[int(cpos)] = int(pid)
+        trs: dict[int, dict] = {}
+        for ck, cpos, rp, rn, tr in zip(
+            pdf["chunk"], pdf["cpos"], pdf["rp"], pdf["rn"], pdf["tr"]
+        ):
+            kp = SENT if pd.isna(rp) else int(rp)
+            kn = SENT if pd.isna(rn) else int(rn)
+            trs.setdefault(int(ck), {})[(int(cpos), kp, kn)] = int(tr)
+        out_p: list[int] = []
+        out_r: list[int | None] = []
+        for ck in sorted(by_chunk):
+            bp, pa = by_chunk[ck]
+            _viterbi_chunk(bp, pa, trs.get(ck, {}), out_p, out_r)
         return pd.DataFrame(
             {
-                "user_id": [uid] * L,
+                "user_id": [uid] * len(out_p),
                 "ping_id": out_p,
                 "road_id": pd.array(out_r, dtype="Int64"),
             }
         )
 
-    def _fn(key, cdf, pdf):
-        return _viterbi(cdf, pdf)
-
+    # explicit width: AQE's coalescer folds the tiny per-user shuffle
+    # into ONE partition, serializing the python stage
+    n_part = max(pings.sparkSession.sparkContext.defaultParallelism, 8)
+    cands_p = cands.repartition(n_part, "user_id")
+    pairs_p = pairs.repartition(n_part, "user_id")
     return (
-        cands.groupBy("user_id", "chunk")
-        .cogroup(pairs.groupBy("user_id", "chunk"))
-        .applyInPandas(_fn, "user_id bigint, ping_id bigint, road_id bigint")
+        cands_p.groupBy("user_id")
+        .cogroup(pairs_p.groupBy("user_id"))
+        .applyInPandas(_user, "user_id bigint, ping_id bigint, road_id bigint")
     )
 
 
