@@ -414,6 +414,22 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return nw.network_distance(_roads(s, d))
 
     q["network_distance"] = _netdist
+
+    # round-6: service-area isochrone raster (network_distance labels ->
+    # midpoint-cell min aggregate, integer bands)
+    def _iso(s, d):
+        from roadgrinder_spark.spatial import network as nw
+
+        return nw.isochrone_cells(_roads(s, d))
+
+    q["isochrone_cells"] = _iso
+    # round-6: IDW surface interpolation — integerized Shepard weights
+    # so both engines aggregate exact bigints (one final division)
+    q["idw_interpolate"] = lambda s, d: sr.idw_interpolate(
+        _pnts(s, d).select(
+            "px", "py", (F.col("objectid") % 1000).alias("v")
+        )
+    )
     q["kde_heatmap"] = lambda s, d: sr.kde_heatmap(
         sr.rasterize_points(_pnts(s, d))
     )
@@ -852,6 +868,12 @@ def oracle_sql() -> dict[str, str]:
     ).replace("WITH ", "WITH RECURSIVE ", 1)
     o["network_distance"] = _with(
         *_split_body(nw.oracle_network_distance_sql()), R
+    )
+    o["isochrone_cells"] = _with(
+        *_split_body(nw.oracle_isochrone_sql()), R
+    )
+    o["idw_interpolate"] = _with(
+        *_split_body(sr.oracle_idw_sql()), P
     )
     # whole-body compose (the embedded rasterize subquery contains its
     # own "\nSELECT" — _split_body would cut at the wrong place)

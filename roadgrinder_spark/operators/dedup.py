@@ -1139,14 +1139,17 @@ WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= {threshold}"
 # Scale notes: one explode (L rows/doc — same budget fingerprint_frame's
 # oracle pays), one hash aggregate for DF, one semi-join back, one
 # per-doc window pass. The df cap (`max_df`) bounds hot-gram fanout
-# exactly as in ngram_jaccard. At 100 TB you sample the gram stream with
-# winnowing (fingerprint_frame's scheme WITH positions): per-window minima
-# cut volume by ~1/window and keep the Schleimer guarantee that any
-# duplicated span >= window + k - 1 chars still collides; the merge gap
-# then widens to window + k. The exact all-grams mode below is the gate
-# configuration (value-checkable, zero recall caveats). Keys are md5 of
-# the gram (portable across engines); a production run would fold to a
-# 64-bit fingerprint to shrink the shuffle.
+# exactly as in ngram_jaccard. The exact all-grams mode (sample_mod=1) is
+# the gate configuration (value-checkable, zero recall caveats); the
+# 100 TB path is sample_mod=p: CONTENT-DEFINED mod-p gram sampling (keep
+# a gram iff hash(gram) % p == 0) cuts the exploded volume, the DF
+# aggregate, and the semi-join by ~1/p while staying deterministic and
+# engine-portable — both copies of a duplicated substring sample the
+# SAME grams, so shared spans still collide; boundaries quantize to the
+# sampled positions (span ⊆ the true duplicated region, start/end lose
+# ~p*k/2 chars expected) and the merge gap widens to k * p. Keys are md5
+# of the gram (portable across engines); a production run would fold to
+# a 64-bit fingerprint to shrink the shuffle.
 # ---------------------------------------------------------------------------
 
 
@@ -1156,15 +1159,19 @@ def duplicate_spans(
     k: int = 20,
     max_df: int = 100,
     min_len: int = 40,
+    sample_mod: int = 1,
 ) -> DataFrame:
     """(doc_id, span_start, span_end, span_len): maximal merged char
     intervals covered by k-grams that appear in >= 2 (and <= max_df)
     distinct documents; only spans >= min_len chars survive.
-    span_start/span_end are 1-based inclusive."""
+    span_start/span_end are 1-based inclusive. sample_mod > 1 enables
+    the sub-sampled scale mode (see module comment)."""
     from pyspark.sql import Window
 
+    from ..functions import phash
     from ..session import spread_input
 
+    gap = k * max(1, sample_mod)
     grams = (
         spread_input(docs)
         .withColumn(
@@ -1177,6 +1184,10 @@ def duplicate_spans(
         .select("doc_id", F.posexplode("_h").alias("pos0", "h"))
         .select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
     )
+    if sample_mod > 1:
+        grams = grams.filter(
+            F.pmod(phash.md5_prefix_value(F.col("h"), 8), F.lit(sample_mod)) == 0
+        )
     shared = (
         grams.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("df"))
@@ -1186,7 +1197,7 @@ def duplicate_spans(
     hits = grams.join(shared, "h", "left_semi").select("doc_id", "pos").distinct()
     w = Window.partitionBy("doc_id").orderBy("pos")
     brk = F.when(
-        F.lag("pos").over(w).isNull() | (F.col("pos") > F.lag("pos").over(w) + k),
+        F.lag("pos").over(w).isNull() | (F.col("pos") > F.lag("pos").over(w) + gap),
         F.lit(1),
     ).otherwise(F.lit(0))
     islands = hits.withColumn(

@@ -333,3 +333,84 @@ rn_walk(road_id, hops) AS (
   WHERE w.hops < {max_hops}
 )
 SELECT road_id, min(hops) AS hops FROM rn_walk GROUP BY road_id"""
+
+
+def isochrone_cells(
+    roads: DataFrame,
+    band_dm: int = 5000,
+    seed_mod: int = 97,
+    max_hops: int = 4,
+    snap_tol: float = DEFAULT_SNAP_TOL,
+    cell_size: float = 250.0,
+    work_dir: str | None = None,
+) -> DataFrame:
+    """Service-area isochrone raster: grid cells reachable from the seed
+    set, labeled with the minimum network distance of any road segment
+    whose MIDPOINT falls in the cell, bucketed into `band_dm` rings.
+    Returns (cell, cx, cy, min_dist_dm, band) — the polygonal service
+    area a locator publishes (raster form; raster_to_vector emits WKT).
+
+    Composition: network_distance labels -> join back to segment
+    geometry -> midpoint cell -> one min aggregate. All integer after
+    the cell arithmetic, so the oracle matches bit-for-bit."""
+    labels = network_distance(
+        roads, seed_mod=seed_mod, max_hops=max_hops,
+        snap_tol=snap_tol, work_dir=work_dir,
+    )
+    mid = roads.select(
+        F.col("objectid").alias("road_id"),
+        ((F.col("x1") + F.col("x2")) / 2.0).alias("mx"),
+        ((F.col("y1") + F.col("y2")) / 2.0).alias("my"),
+    )
+    s = float(cell_size)
+    j = labels.join(mid, "road_id").select(
+        "dist_dm",
+        F.floor(F.col("mx") / s).cast("long").alias("cx"),
+        F.floor(F.col("my") / s).cast("long").alias("cy"),
+    )
+    return (
+        j.groupBy("cx", "cy")
+        .agg(F.min("dist_dm").alias("min_dist_dm"))
+        .select(
+            pack_cell(F.col("cx"), F.col("cy")).alias("cell"),
+            "cx",
+            "cy",
+            "min_dist_dm",
+            F.floor(F.col("min_dist_dm") / F.lit(band_dm)).cast("long").alias("band"),
+        )
+    )
+
+
+def oracle_isochrone_sql(
+    band_dm: int = 5000,
+    seed_mod: int = 97,
+    max_hops: int = 4,
+    snap_tol: float = DEFAULT_SNAP_TOL,
+    cell_size: float = 250.0,
+) -> str:
+    """DuckDB mirror: the network_distance oracle CTEs + midpoint cell
+    min-aggregate. Needs roads in scope."""
+    from .cells import CY_BIAS, PACK
+
+    nd = oracle_network_distance_sql(
+        seed_mod=seed_mod, max_hops=max_hops, snap_tol=snap_tol
+    )
+    # embed the unrolled levels as CTEs and aggregate the final level
+    idx = nd.rfind("\nSELECT")
+    ctes = nd[:idx]
+    s = float(cell_size)
+    return f"""{ctes},
+iso_mid AS (
+  SELECT objectid AS road_id, (x1 + x2) / 2.0 AS mx, (y1 + y2) / 2.0 AS my
+  FROM roads
+),
+iso_cells AS (
+  SELECT CAST(FLOOR(m.mx / {s}) AS BIGINT) AS cx,
+         CAST(FLOOR(m.my / {s}) AS BIGINT) AS cy,
+         min(d.dist_dm) AS min_dist_dm
+  FROM nd_d{max_hops} d JOIN iso_mid m ON m.road_id = d.road_id
+  GROUP BY 1, 2
+)
+SELECT cx * {PACK} + cy + {CY_BIAS} AS cell, cx, cy, min_dist_dm,
+       CAST(FLOOR(min_dist_dm / {band_dm}) AS BIGINT) AS band
+FROM iso_cells"""

@@ -637,3 +637,132 @@ SELECT cx * {PACK} + cy + {CY_BIAS} AS cell, cx, cy, density FROM (
        LATERAL (SELECT unnest(range({-radius}, {radius} + 1)) AS dy) dy
   GROUP BY 1, 2
 )"""
+
+
+# ---------------------------------------------------------------------------
+# round 6: inverse-distance-weighted (IDW) surface interpolation — the
+# classic scattered-points -> raster estimate (Shepard's method, power 2).
+# Weights are INTEGERIZED (floor(1e8 / (d2 + 100)) as BIGINT) so both
+# engines aggregate exact integers and the single final division is the
+# only float op — no float-summation-order risk (the same discipline as
+# network_distance's decimetre weights).
+#
+# Scale: estimate sites = the OCCUPIED cells (one rasterize aggregate);
+# the candidate join explodes ring-1 on the aggregated grid side (9 rows
+# per non-empty cell) and equi-joins on the points' own cell id — the
+# kNN-join shape, shuffle by cell, skew salting composes. Ring-1 is
+# lossless for radius <= cell_size (per-axis |p - center| <= s implies
+# the point's cell is within +-1 of the center's).
+# ---------------------------------------------------------------------------
+
+IDW_SCALE = 10**8
+IDW_SMOOTH = 100.0
+
+
+def idw_interpolate(
+    points: DataFrame,
+    value_col: str = "v",
+    cell_size: float = DEFAULT_CELL_SIZE,
+    radius_m: float | None = None,
+) -> DataFrame:
+    """(cell, cx, cy, n_samples, est): IDW estimate at each occupied
+    cell's CENTER from sample points within radius (default cell_size),
+    weight = floor(1e8 / (dist2 + 100)). points: (px, py, value_col
+    bigint)."""
+    s = float(cell_size)
+    r = s if radius_m is None else float(radius_m)
+    if r > s:
+        raise ValueError(f"ring-1 cover needs radius_m ({r}) <= cell_size ({s})")
+    cx, cy = cell_xy(F.col("px"), F.col("py"), s)
+    pts = points.select(
+        "px", "py", F.col(value_col).alias("v"),
+        pack_cell(cx, cy).alias("pcell"),
+    )
+    grid = (
+        points.select(cx.alias("cx"), cy.alias("cy"))
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .drop("_n")
+    )
+    ring = F.sequence(F.lit(-1), F.lit(1))
+    probes = (
+        grid.withColumn("_dx", F.explode(ring))
+        .withColumn("_dy", F.explode(ring))
+        .select(
+            "cx",
+            "cy",
+            pack_cell(F.col("cx") + F.col("_dx"), F.col("cy") + F.col("_dy")).alias(
+                "pcell"
+            ),
+        )
+    )
+    cxc = (F.col("cx").cast("double") + 0.5) * s
+    cyc = (F.col("cy").cast("double") + 0.5) * s
+    cand = (
+        probes.hint("shuffle_hash")
+        .join(pts, "pcell")
+        .withColumn("_ddx", F.col("px") - cxc)
+        .withColumn("_ddy", F.col("py") - cyc)
+        .withColumn("d2", F.col("_ddx") * F.col("_ddx") + F.col("_ddy") * F.col("_ddy"))
+        .filter(F.col("d2") <= F.lit(r * r))
+        .withColumn(
+            "w", F.floor(F.lit(float(IDW_SCALE)) / (F.col("d2") + F.lit(IDW_SMOOTH))).cast("long")
+        )
+    )
+    return (
+        cand.groupBy("cx", "cy")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum(F.col("w") * F.col("v")).alias("_wv"),
+            F.sum("w").alias("_w"),
+        )
+        .select(
+            pack_cell(F.col("cx"), F.col("cy")).alias("cell"),
+            "cx",
+            "cy",
+            "n_samples",
+            F.round(F.col("_wv").cast("double") / F.col("_w"), 6).alias("est"),
+        )
+    )
+
+
+def oracle_idw_sql(
+    src: str = "addrpnts",
+    value_sql: str = "objectid % 1000",
+    cell_size: float = DEFAULT_CELL_SIZE,
+    radius_m: float | None = None,
+) -> str:
+    """DuckDB mirror (bbox pruning instead of the cell ring — different
+    candidate generation, identical surviving set for radius <= cell)."""
+    s = float(cell_size)
+    r = s if radius_m is None else float(radius_m)
+    return f"""
+idw_pts AS (
+  SELECT px, py, CAST({value_sql} AS BIGINT) AS v FROM {src}
+),
+idw_grid AS (
+  SELECT CAST(FLOOR(px / {s}) AS BIGINT) AS cx,
+         CAST(FLOOR(py / {s}) AS BIGINT) AS cy
+  FROM {src} GROUP BY 1, 2
+),
+idw_cand AS (
+  SELECT g.cx, g.cy,
+         (p.px - (CAST(g.cx AS DOUBLE) + 0.5) * {s}) AS _ddx,
+         (p.py - (CAST(g.cy AS DOUBLE) + 0.5) * {s}) AS _ddy,
+         p.v
+  FROM idw_grid g JOIN idw_pts p
+    ON p.px BETWEEN (CAST(g.cx AS DOUBLE) + 0.5) * {s} - {r}
+               AND (CAST(g.cx AS DOUBLE) + 0.5) * {s} + {r}
+   AND p.py BETWEEN (CAST(g.cy AS DOUBLE) + 0.5) * {s} - {r}
+               AND (CAST(g.cy AS DOUBLE) + 0.5) * {s} + {r}
+),
+idw_w AS (
+  SELECT cx, cy, v,
+         CAST(FLOOR({float(IDW_SCALE)} / (d2 + {IDW_SMOOTH})) AS BIGINT) AS w
+  FROM (SELECT cx, cy, v, _ddx * _ddx + _ddy * _ddy AS d2 FROM idw_cand)
+  WHERE d2 <= {r * r}
+)
+SELECT cx * {PACK} + cy + {CY_BIAS} AS cell, cx, cy,
+       count(*) AS n_samples,
+       round(CAST(sum(w * v) AS DOUBLE) / sum(w), 6) AS est
+FROM idw_w GROUP BY cx, cy"""

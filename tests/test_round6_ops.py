@@ -300,3 +300,97 @@ def test_hmm_vs_python_enumeration(spark):
             for r, rid in zip(ch, best[1:]):
                 want[(int(uid), int(r.ping_id))] = None if rid == SENT else rid
     assert got == want
+
+
+def test_duplicate_spans_sampled_mode(spark):
+    """sample_mod=p (the 100 TB path) is content-defined: both copies of
+    a duplicated substring sample identical grams, so a long planted
+    span is still recovered; the recovered span sits INSIDE the planted
+    region (sampling can only trim boundaries, never extend past them
+    when the surrounding text is unique)."""
+    import random
+
+    from roadgrinder_spark.operators.dedup import duplicate_spans
+
+    rng = random.Random(11)
+
+    def noise(n):
+        return "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(n))
+
+    shared = noise(600).upper()  # 600-char planted duplicate
+    d1 = noise(100) + shared + noise(100)
+    d2 = noise(80) + shared + noise(120)
+    docs = _mkdocs(spark, [(1, d1), (2, d2)])
+    out = duplicate_spans(docs, k=20, min_len=40, sample_mod=8).collect()
+    by_doc = {r.doc_id: (r.span_start, r.span_end) for r in out}
+    assert set(by_doc) == {1, 2}
+    s1, e1 = by_doc[1]
+    # containment in the planted region [101, 700] and substantial recall
+    assert 101 <= s1 and e1 <= 700
+    assert e1 - s1 + 1 >= 300
+    # and the sampled span is contained in the exact-mode span
+    exact = {
+        r.doc_id: (r.span_start, r.span_end)
+        for r in duplicate_spans(docs, k=20, min_len=40).collect()
+    }
+    assert exact[1][0] <= s1 and e1 <= exact[1][1]
+
+
+# ---------------------------------------------------------------------------
+# isochrone_cells and idw_interpolate invariants
+# ---------------------------------------------------------------------------
+
+
+def test_isochrone_bands_consistent(spark):
+    from roadgrinder_spark import datagen
+    from roadgrinder_spark.spatial import network as nw
+
+    roads = datagen.derive_roads(spark, SF_DIR)
+    iso = nw.isochrone_cells(roads).collect()
+    assert iso
+    labels = {
+        int(r.road_id): int(r.dist_dm)
+        for r in nw.network_distance(roads).collect()
+    }
+    # every cell's min_dist_dm is an actual label value and band = floor
+    vals = set(labels.values())
+    for r in iso:
+        assert r.min_dist_dm in vals
+        assert r.band == r.min_dist_dm // 5000
+    # cell count <= reached-road count (aggregation can only shrink)
+    assert len(iso) <= len(labels)
+
+
+def test_idw_vs_python(spark):
+    """IDW estimates match a brute-force python reference exactly (the
+    integer-weight discipline makes the whole aggregate deterministic)."""
+    import math
+
+    from roadgrinder_spark import datagen
+    from roadgrinder_spark.spatial import raster as sr
+
+    pnts = datagen.derive_addrpnts(spark, SF_DIR)
+    from pyspark.sql import functions as F
+
+    pts = pnts.select("px", "py", (F.col("objectid") % 1000).alias("v"))
+    got = {
+        (r.cx, r.cy): (r.n_samples, r.est)
+        for r in sr.idw_interpolate(pts).collect()
+    }
+    rows = pts.collect()
+    s = sr.DEFAULT_CELL_SIZE
+    cells = {(math.floor(r.px / s), math.floor(r.py / s)) for r in rows}
+    want = {}
+    for cx, cy in cells:
+        cxc, cyc = (cx + 0.5) * s, (cy + 0.5) * s
+        ws, wvs, n = 0, 0, 0
+        for r in rows:
+            d2 = (r.px - cxc) ** 2 + (r.py - cyc) ** 2
+            if d2 <= s * s:
+                w = math.floor(sr.IDW_SCALE / (d2 + sr.IDW_SMOOTH))
+                ws += w
+                wvs += w * r.v
+                n += 1
+        if n:
+            want[(cx, cy)] = (n, round(wvs / ws, 6))
+    assert got == want
