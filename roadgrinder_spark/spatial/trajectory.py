@@ -400,13 +400,16 @@ GROUP BY a.user_id, b.user_id"""
 # lexicographically smallest road sequence among minimum-cost paths,
 # NULL ordered last (sentinel 2^62) — both engines implement this order.
 #
-# Scale design: candidates come from the cell-cover kNN join; transition
-# costs are PRE-JOINED per consecutive candidate pair (k^2 * (chunk-1)
-# rows per chunk) against the materialized road adjacency, so the Arrow
-# kernel receives everything it needs per (user, chunk) group and the
-# global edge set never ships to Python. The kernel is O(chunk * k^2)
-# per group. One cogroup shuffle by (user_id, chunk) — bounded state,
-# no driver collect.
+# Scale design: candidates come from the cell-cover kNN join; the
+# consecutive-candidate self-join is INTERSECTED with the road adjacency
+# and only the surviving ADJACENCY rows ship to the kernel — same/null/
+# jump costs are pure functions of the two candidate ids, derived
+# locally. (Shipping every k^2 pair measured 71.5 M Arrow rows at 10 M
+# pings and made the cogroup the dominant stage at 55.7 s with a trivial
+# kernel; adjacency rows scale with road geometry, not ping volume.)
+# The kernel is O(chunk * k^2) per group; one cogroup shuffle by
+# user_id — bounded state, no driver collect, no global edge set in
+# Python.
 # ---------------------------------------------------------------------------
 
 HMM_CHUNK = 5
@@ -414,16 +417,6 @@ HMM_TR_ADJ = 1
 HMM_TR_NULL = 3
 HMM_TR_JUMP = 5
 HMM_NULL_SENTINEL = 1 << 62
-
-
-def _hmm_tr_case(rp, rn, adj):
-    return (
-        F.when(rp.isNull() & rn.isNull(), F.lit(0))
-        .when(rp.isNull() | rn.isNull(), F.lit(HMM_TR_NULL))
-        .when(rp == rn, F.lit(0))
-        .when(adj.isNotNull(), F.lit(HMM_TR_ADJ))
-        .otherwise(F.lit(HMM_TR_JUMP))
-    )
 
 
 def route_match_hmm(
@@ -452,23 +445,28 @@ def route_match_hmm(
         .withColumn("cpos", ((F.col("idx") - 1) % chunk + 1).cast("int"))
         .drop("idx", "ts")
     )
-    knn = knn_join(
-        pings.select(F.col("ping_id").alias("objectid"), "px", "py"),
-        roads,
-        k=k,
-        radius_m=radius_m,
-    ).select(
-        F.col("point_id").alias("ping_id"),
-        "road_id",
-        (F.col("rank") - 1).alias("e"),
+    # candidates PACKED one row per ping (rank order = array index =
+    # emission cost): the python-crossing frame is the dominant cost of
+    # this operator — 3 rows/ping measured 30 M Arrow rows at 10 M
+    # pings; packing cuts the cogroup/Arrow row count 3x. knn output
+    # never contains NULL road_id, so array elements are non-null and a
+    # missing array (left join) means the off-road candidate.
+    knn = (
+        knn_join(
+            pings.select(F.col("ping_id").alias("objectid"), "px", "py"),
+            roads,
+            k=k,
+            radius_m=radius_m,
+        )
+        .groupBy(F.col("point_id").alias("ping_id"))
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(rank, road_id))), x -> x.road_id)").alias(
+                "cand_roads"
+            )
+        )
     )
     cands = seq.join(knn, "ping_id", "left").select(
-        "user_id",
-        "chunk",
-        "cpos",
-        "ping_id",
-        "road_id",
-        F.coalesce(F.col("e"), F.lit(0)).alias("e"),
+        "user_id", "chunk", "cpos", "ping_id", "cand_roads"
     )
     # materialize the candidate frame ONCE: it feeds the pair self-join
     # (twice) and the cogroup, and Spark re-executes the whole kNN +
@@ -481,21 +479,30 @@ def route_match_hmm(
     cands.write.mode("overwrite").parquet(f"{wd}/cands")
     cands = pings.sparkSession.read.parquet(f"{wd}/cands")
     # disjoint intermediate names per side — cands joined with itself
-    # trips Spark's ambiguous-self-join check on shared attribute ids
+    # trips Spark's ambiguous-self-join check on shared attribute ids.
+    # The pair candidates re-explode JVM-side (cheap, never crosses to
+    # Python).
     a = cands.select(
         F.col("user_id").alias("_au"),
         F.col("chunk").alias("_ac"),
         (F.col("cpos") + 1).alias("_ap"),
-        F.col("road_id").alias("rp"),
+        F.explode("cand_roads").alias("rp"),
     )
     b = cands.select(
         F.col("user_id").alias("_bu"),
         F.col("chunk").alias("_bc"),
         F.col("cpos").alias("_bp"),
-        F.col("road_id").alias("rn"),
+        F.explode("cand_roads").alias("rn"),
     )
+    # pairs frame = ADJACENCY HITS ONLY (inner join with the edge set).
+    # Same/null/jump transition costs are pure functions of the two
+    # candidate ids, so the kernel derives them locally — shipping every
+    # k^2 candidate pair to Python measured 71.5 M Arrow rows at 10 M
+    # pings and made the cogroup the dominant stage (55.7 s with a
+    # TRIVIAL kernel); adjacency rows are the only data-dependent part
+    # and are bounded by road geometry, not ping volume.
     adj = road_edges(roads, snap).select(
-        F.col("src").alias("rp"), F.col("dst").alias("rn"), F.lit(1).alias("adj")
+        F.col("src").alias("rp"), F.col("dst").alias("rn")
     )
     pairs = (
         a.join(
@@ -504,20 +511,30 @@ def route_match_hmm(
             & (F.col("_ac") == F.col("_bc"))
             & (F.col("_ap") == F.col("_bp")),
         )
-        .join(adj, ["rp", "rn"], "left")
+        .join(adj, ["rp", "rn"], "left_semi")
         .select(
             F.col("_au").alias("user_id"),
             F.col("_ac").alias("chunk"),
             F.col("_ap").alias("cpos"),
             "rp",
             "rn",
-            _hmm_tr_case(F.col("rp"), F.col("rn"), F.col("adj")).alias("tr"),
         )
     )
 
     SENT = HMM_NULL_SENTINEL
 
-    def _viterbi_chunk(by_pos, ping_at, trmap, out_p, out_r):
+    def _tr(p, kp, kn, adjset):
+        # default transition costs are id-derived; only true adjacency
+        # needs the shipped edge rows
+        if kp == kn:
+            return 0
+        if kp == SENT or kn == SENT:
+            return HMM_TR_NULL
+        if (p, kp, kn) in adjset:
+            return HMM_TR_ADJ
+        return HMM_TR_JUMP
+
+    def _viterbi_chunk(by_pos, ping_at, adjset, out_p, out_r):
         poss = sorted(by_pos)
         L = len(poss)
         # backward suffix DP: S[i][r] = min cost of the path r@i .. end
@@ -531,7 +548,7 @@ def route_match_hmm(
                 else:
                     pn = poss[i + 1]
                     S[i][r] = e + min(
-                        trmap[(pn, r, r2)] + S[i + 1][r2] for r2 in S[i + 1]
+                        _tr(pn, r, r2, adjset) + S[i + 1][r2] for r2 in S[i + 1]
                     )
         total = min(S[0].values())
         # greedy forward reconstruct: smallest road (sentinel order) whose
@@ -541,7 +558,7 @@ def route_match_hmm(
         prev: int | None = None
         for i, p in enumerate(poss):
             for r in sorted(S[i]):
-                t = 0 if prev is None else trmap[(p, prev, r)]
+                t = 0 if prev is None else _tr(p, prev, r, adjset)
                 if t + S[i][r] == rem:
                     out_p.append(ping_at[p])
                     out_r.append(None if r == SENT else r)
@@ -563,25 +580,24 @@ def route_match_hmm(
             ).astype({"user_id": "int64", "ping_id": "int64", "road_id": "float64"})
         uid = int(cdf["user_id"].iloc[0])
         by_chunk: dict[int, tuple[dict, dict]] = {}
-        for ck, cpos, pid, rid, e in zip(
-            cdf["chunk"], cdf["cpos"], cdf["ping_id"], cdf["road_id"], cdf["e"]
+        for ck, cpos, pid, lst in zip(
+            cdf["chunk"], cdf["cpos"], cdf["ping_id"], cdf["cand_roads"]
         ):
-            r = SENT if pd.isna(rid) else int(rid)
             bp, pa = by_chunk.setdefault(int(ck), ({}, {}))
-            bp.setdefault(int(cpos), {})[r] = int(e)
+            if lst is None or len(lst) == 0:
+                bp[int(cpos)] = {SENT: 0}
+            else:
+                # rank order == array index == emission cost
+                bp[int(cpos)] = {int(r): e for e, r in enumerate(lst)}
             pa[int(cpos)] = int(pid)
-        trs: dict[int, dict] = {}
-        for ck, cpos, rp, rn, tr in zip(
-            pdf["chunk"], pdf["cpos"], pdf["rp"], pdf["rn"], pdf["tr"]
-        ):
-            kp = SENT if pd.isna(rp) else int(rp)
-            kn = SENT if pd.isna(rn) else int(rn)
-            trs.setdefault(int(ck), {})[(int(cpos), kp, kn)] = int(tr)
+        adjs: dict[int, set] = {}
+        for ck, cpos, rp, rn in zip(pdf["chunk"], pdf["cpos"], pdf["rp"], pdf["rn"]):
+            adjs.setdefault(int(ck), set()).add((int(cpos), int(rp), int(rn)))
         out_p: list[int] = []
         out_r: list[int | None] = []
         for ck in sorted(by_chunk):
             bp, pa = by_chunk[ck]
-            _viterbi_chunk(bp, pa, trs.get(ck, {}), out_p, out_r)
+            _viterbi_chunk(bp, pa, adjs.get(ck, set()), out_p, out_r)
         return pd.DataFrame(
             {
                 "user_id": [uid] * len(out_p),
