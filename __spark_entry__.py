@@ -129,9 +129,13 @@ def rotation_order(names: list[str]) -> list[str]:
     Sort key = (last round with a green driver row, name); entries with
     no driver row ever sort first (last = -1), which automatically puts
     every newly added operator inside the window the round it lands.
-    Because the tail (T - GATE_WINDOW entries) is smaller than the
-    window, everything skipped this round is strictly stalest next
-    round — no entry can go 2+ consecutive rounds without a driver row.
+    Staleness bound (round 6): with T total entries and window W, every
+    entry gets a driver row at least every K = ceil(T / W) rounds — an
+    entry skipped this round outranks (is stalest-than) every entry
+    checked since, so it can be displaced at most K-1 consecutive
+    rounds. At T <= 2W this is the original 2-round guarantee;
+    tests/test_gate_tail.py hard-caps K <= 3 so the bound can never
+    silently degrade.
     """
 
     def key(n: str) -> tuple[int, str]:
