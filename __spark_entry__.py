@@ -437,6 +437,56 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kde_heatmap"] = lambda s, d: sr.kde_heatmap(
         sr.rasterize_points(_pnts(s, d))
     )
+
+    # round-6: spatial-autocorrelation hotspot statistics over the
+    # occupied-cell raster — exact integer aggregates, one final double
+    # expression with identical op order in both engines
+    def _gi(s, d):
+        from roadgrinder_spark.spatial import hotspot as hs
+
+        return hs.gi_star(sr.rasterize_points(_pnts(s, d)))
+
+    q["hotspot_gi"] = _gi
+
+    def _mi(s, d):
+        from roadgrinder_spark.spatial import hotspot as hs
+
+        return hs.morans_i(sr.rasterize_points(_pnts(s, d)))
+
+    q["morans_i"] = _mi
+
+    def _lisa(s, d):
+        from roadgrinder_spark.spatial import hotspot as hs
+
+        return hs.local_morans(sr.rasterize_points(_pnts(s, d)))
+
+    q["lisa_quadrants"] = _lisa
+
+    def _emerging(s, d):
+        from roadgrinder_spark.spatial import hotspot as hs
+        from roadgrinder_spark.spatial import trajectory as tj
+
+        return hs.emerging_hotspots(tj.derive_pings(s, d))
+
+    q["emerging_hotspots"] = _emerging
+
+    # round-6: point-pattern statistics — Ripley K/L multi-radius
+    # clustering profile (addrpnts) and the Knox space-time interaction
+    # test (pings); exact integer pair counts, one final double
+    def _ripley(s, d):
+        from roadgrinder_spark.spatial import pointpattern as pp
+
+        return pp.ripley_k(_pnts(s, d))
+
+    q["ripley_k"] = _ripley
+
+    def _knox(s, d):
+        from roadgrinder_spark.spatial import pointpattern as pp
+        from roadgrinder_spark.spatial import trajectory as tj
+
+        return pp.knox(tj.derive_pings(s, d))
+
+    q["knox_stat"] = _knox
     q["span_media_align"] = lambda s, d: spans.span_media_align(_packed(s, d))
     q["geocode_match"] = lambda s, d: sj.geocode_match(
         _pnts(s, d), rg.explode_aliases(_roads(s, d)).geocode_roads
@@ -882,6 +932,20 @@ def oracle_sql() -> dict[str, str]:
     # whole-body compose (the embedded rasterize subquery contains its
     # own "\nSELECT" — _split_body would cut at the wrong place)
     o["kde_heatmap"] = _with(sr.oracle_kde_heatmap_sql(), P)
+    from roadgrinder_spark.spatial import hotspot as hs
+
+    o["hotspot_gi"] = _with(*_split_body(hs.oracle_gi_star_sql()), P)
+    o["morans_i"] = _with(*_split_body(hs.oracle_morans_i_sql()), P)
+    o["lisa_quadrants"] = _with(*_split_body(hs.oracle_local_morans_sql()), P)
+    from roadgrinder_spark.spatial import pointpattern as pp
+
+    o["ripley_k"] = _with(*_split_body(pp.oracle_ripley_k_sql()), P)
+    o["knox_stat"] = _with(
+        *_split_body(pp.oracle_knox_sql()), tj.PINGS_CTE
+    )
+    o["emerging_hotspots"] = _with(
+        *_split_body(hs.oracle_emerging_hotspots_sql()), tj.PINGS_CTE
+    )
     o["span_media_align"] = _with(
         *_split_body(spans.oracle_span_media_align_sql()), R, P
     )

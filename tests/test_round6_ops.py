@@ -394,3 +394,268 @@ def test_idw_vs_python(spark):
         if n:
             want[(cx, cy)] = (n, round(wvs / ws, 6))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# hotspot statistics (Gi*, Moran's I) vs the DuckDB oracle AND a pure-
+# python textbook implementation (mean/std form — shares no algebra with
+# the engine's cleared-denominator integer form)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("name", ("hotspot_gi", "morans_i"))
+def test_hotspot_entry_matches_oracle(name, spark, duck):
+    import __spark_entry__ as entry_mod
+
+    fn = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql()[name]
+    assert_frames_match(fn(spark, SF_DIR), duck.sql(sql).df(), name)
+
+
+def _raster_counts(spark):
+    from roadgrinder_spark import datagen
+    from roadgrinder_spark.spatial import raster as sr
+
+    pnts = datagen.derive_addrpnts(spark, SF_DIR)
+    return {
+        (r.cx, r.cy): r.n for r in sr.rasterize_points(pnts).collect()
+    }
+
+
+def test_gi_star_vs_textbook(spark):
+    """z from the engine == textbook Gi* (X-bar / S form, floats all the
+    way) to 1e-6 on every occupied cell."""
+    from roadgrinder_spark import datagen
+    from roadgrinder_spark.spatial import hotspot as hs
+    from roadgrinder_spark.spatial import raster as sr
+
+    counts = _raster_counts(spark)
+    xs = np.array(list(counts.values()), dtype=float)
+    n, xbar = len(xs), xs.mean()
+    s = math.sqrt((xs * xs).mean() - xbar * xbar)
+    want = {}
+    for (cx, cy) in counts:
+        nb = [
+            counts[(cx + dx, cy + dy)]
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            if (cx + dx, cy + dy) in counts
+        ]
+        wi, wx = len(nb), float(sum(nb))
+        denom = s * math.sqrt((n * wi - wi * wi) / (n - 1))
+        want[(cx, cy)] = (wx - xbar * wi) / denom
+    pnts = datagen.derive_addrpnts(spark, SF_DIR)
+    out = hs.gi_star(sr.rasterize_points(pnts)).collect()
+    assert len(out) == len(want)
+    hot = cold = 0
+    for r in out:
+        assert r.z == pytest.approx(want[(r.cx, r.cy)], abs=2e-6), (r.cx, r.cy)
+        hot += r.z > 2.0
+        cold += r.z < 0.0
+    assert hot > 0 and cold > 0  # the surface is non-trivially clustered
+
+
+def test_morans_i_vs_textbook(spark):
+    from roadgrinder_spark import datagen
+    from roadgrinder_spark.spatial import hotspot as hs
+    from roadgrinder_spark.spatial import raster as sr
+
+    counts = _raster_counts(spark)
+    xs = {k: float(v) for k, v in counts.items()}
+    n = len(xs)
+    xbar = sum(xs.values()) / n
+    num = wsum = 0.0
+    for (cx, cy), xi in xs.items():
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                xj = xs.get((cx + dx, cy + dy))
+                if xj is not None:
+                    num += (xi - xbar) * (xj - xbar)
+                    wsum += 1.0
+    den = sum((v - xbar) ** 2 for v in xs.values())
+    want = (n / wsum) * num / den
+    pnts = datagen.derive_addrpnts(spark, SF_DIR)
+    row = hs.morans_i(sr.rasterize_points(pnts)).collect()[0]
+    assert row.n_units == n and row.w_pairs == int(wsum)
+    assert row.morans_i == pytest.approx(want, abs=2e-6)
+    assert row.expected_i == pytest.approx(-1.0 / (n - 1), abs=1e-6)
+    # Moran's I with row-unstandardized binary weights is bounded by
+    # ~|lambda_max| of W; sanity-bound it (sf0.001's near-constant
+    # surface comes out slightly NEGATIVE — mostly-1 counts mean an
+    # occupied neighbor is usually at-or-below the mean cell, so the
+    # sign assertion "density surfaces cluster" only holds once counts
+    # have structure; the engine==textbook equality above is the test)
+    assert -1.5 < row.morans_i < 1.5
+
+
+@pytest.mark.parametrize("name", ("lisa_quadrants", "emerging_hotspots"))
+def test_hotspot2_entry_matches_oracle(name, spark, duck):
+    import __spark_entry__ as entry_mod
+
+    fn = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql()[name]
+    assert_frames_match(fn(spark, SF_DIR), duck.sql(sql).df(), name)
+
+
+def test_lisa_vs_textbook(spark):
+    """LISA values from the engine == textbook local Moran (X-bar/m2
+    float form) and quadrant labels == sign classification."""
+    from roadgrinder_spark import datagen
+    from roadgrinder_spark.spatial import hotspot as hs
+    from roadgrinder_spark.spatial import raster as sr
+
+    counts = _raster_counts(spark)
+    xs = np.array(list(counts.values()), dtype=float)
+    n, xbar = len(xs), xs.mean()
+    m2 = ((xs - xbar) ** 2).sum() / n
+    want = {}
+    for (cx, cy), x in counts.items():
+        nb = [
+            counts[(cx + dx, cy + dy)]
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            if not (dx == 0 and dy == 0) and (cx + dx, cy + dy) in counts
+        ]
+        lag = float(sum(nb))
+        wi = len(nb)
+        lisa = (x - xbar) / m2 * (lag - wi * xbar)
+        if wi == 0:
+            quad = "na"
+        elif x > xbar and lag > wi * xbar:
+            quad = "hh"
+        elif x < xbar and lag < wi * xbar:
+            quad = "ll"
+        elif x > xbar and lag < wi * xbar:
+            quad = "hl"
+        elif x < xbar and lag > wi * xbar:
+            quad = "lh"
+        else:
+            quad = "na"
+        want[(cx, cy)] = (lisa, quad)
+    pnts = datagen.derive_addrpnts(spark, SF_DIR)
+    out = hs.local_morans(sr.rasterize_points(pnts)).collect()
+    assert len(out) == len(want)
+    seen = set()
+    for r in out:
+        lisa, quad = want[(r.cx, r.cy)]
+        assert r.lisa == pytest.approx(lisa, abs=2e-6), (r.cx, r.cy)
+        assert r.quadrant == quad, (r.cx, r.cy, quad)
+        seen.add(quad)
+    assert {"hh", "ll"} <= seen  # cores of both kinds exist
+
+
+def test_emerging_hotspots_vs_python(spark):
+    """MK statistic == brute-force python pair loop over the dense
+    30-day series (zeros for absent days)."""
+    from roadgrinder_spark.spatial import hotspot as hs
+    from roadgrinder_spark.spatial import trajectory as tj
+
+    pings = tj.derive_pings(spark, SF_DIR)
+    rows = pings.selectExpr(
+        "CAST(FLOOR(px / 125.0) AS BIGINT) cx",
+        "CAST(FLOOR(py / 125.0) AS BIGINT) cy",
+        "day(ts) AS b",
+    ).collect()
+    series: dict[tuple[int, int], list[int]] = {}
+    for r in rows:
+        series.setdefault((r.cx, r.cy), [0] * 30)[r.b - 1] += 1
+    want = {}
+    for key, ns in series.items():
+        mk = sum(
+            (ns[j] > ns[i]) - (ns[j] < ns[i])
+            for i in range(30)
+            for j in range(i + 1, 30)
+        )
+        want[key] = (sum(ns), mk)
+    out = hs.emerging_hotspots(pings).collect()
+    assert len(out) == len(want)
+    sd = (30 * 29 * 65 / 18.0) ** 0.5
+    nonzero = 0
+    for r in out:
+        tot, mk = want[(r.cx, r.cy)]
+        assert (r.n_total, r.mk_stat) == (tot, mk), (r.cx, r.cy)
+        assert r.z == pytest.approx(mk / sd, abs=1e-6)
+        lab = "emerging" if mk / sd > 1.96 else (
+            "declining" if mk / sd < -1.96 else "stable")
+        assert r.trend == lab
+        nonzero += mk != 0
+    assert nonzero > 0
+
+
+# ---------------------------------------------------------------------------
+# point-pattern statistics (Ripley K/L, Knox space-time) vs the DuckDB
+# oracle AND numpy brute-force references (all-pairs distance matrices —
+# no cell cover, no bucket trick, nothing shared with either engine)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("name", ("ripley_k", "knox_stat"))
+def test_pointpattern_entry_matches_oracle(name, spark, duck):
+    import __spark_entry__ as entry_mod
+
+    fn = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql()[name]
+    assert_frames_match(fn(spark, SF_DIR), duck.sql(sql).df(), name)
+
+
+def test_ripley_k_vs_numpy(spark):
+    """Pair counts and K/L values == brute-force all-pairs numpy."""
+    from roadgrinder_spark import datagen
+    from roadgrinder_spark.spatial import pointpattern as pp
+
+    pnts = datagen.derive_addrpnts(spark, SF_DIR)
+    pdf = pnts.select("px", "py").toPandas()
+    x, y = pdf["px"].to_numpy(), pdf["py"].to_numpy()
+    n = len(x)
+    d2 = (x[:, None] - x[None, :]) ** 2 + (y[:, None] - y[None, :]) ** 2
+    iu = np.triu_indices(n, k=1)
+    du = d2[iu]
+    area = (x.max() - x.min()) * (y.max() - y.min())
+    out = {r.radius: r for r in pp.ripley_k(pnts).collect()}
+    assert set(out) == set(pp.RIPLEY_RADII)
+    for rad in pp.RIPLEY_RADII:
+        c = int((du <= rad * rad).sum())
+        row = out[rad]
+        assert row.n_points == n
+        assert row.pairs_le == c, rad
+        k = area * 2.0 * c / (n * (n - 1.0))
+        assert row.k_hat == pytest.approx(k, rel=1e-9)
+        assert row.l_hat == pytest.approx(math.sqrt(k / math.pi) - rad,
+                                          abs=2e-6)
+    # address points are lattice-clustered: L(r) > 0 at every tested r
+    assert all(out[r].l_hat > 0 for r in pp.RIPLEY_RADII)
+
+
+def test_knox_vs_numpy(spark):
+    """All four pair counts == brute-force numpy over pings; z matches
+    the Poisson form."""
+    from roadgrinder_spark.spatial import pointpattern as pp
+    from roadgrinder_spark.spatial import trajectory as tj
+
+    pings = tj.derive_pings(spark, SF_DIR)
+    pdf = pings.selectExpr(
+        "px", "py", "unix_micros(CAST(ts AS TIMESTAMP)) AS t"
+    ).toPandas()
+    x, y = pdf["px"].to_numpy(), pdf["py"].to_numpy()
+    t = pdf["t"].to_numpy()
+    n = len(x)
+    iu = np.triu_indices(n, k=1)
+    d2 = ((x[:, None] - x[None, :]) ** 2
+          + (y[:, None] - y[None, :]) ** 2)[iu]
+    dt = np.abs(t[:, None] - t[None, :])[iu]
+    s = d2 <= pp.KNOX_DS * pp.KNOX_DS
+    tt = dt <= pp.KNOX_DT_US
+    s_pairs, t_pairs, st_pairs = int(s.sum()), int(tt.sum()), int(
+        (s & tt).sum())
+    row = pp.knox(pings).collect()[0]
+    assert (row.n_events, row.total_pairs) == (n, n * (n - 1) // 2)
+    assert (row.s_pairs, row.t_pairs, row.st_pairs) == (
+        s_pairs, t_pairs, st_pairs)
+    e = s_pairs * t_pairs / (n * (n - 1) / 2.0)
+    assert row.expected_st == pytest.approx(e, abs=1e-6)  # 6dp-rounded
+    assert row.z == pytest.approx((st_pairs - e) / math.sqrt(e), abs=2e-6)
+    # a user's temporally-adjacent pings are also spatially adjacent, so
+    # the interaction signal must be strongly positive
+    assert row.z > 5.0
