@@ -487,6 +487,13 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pp.knox(tj.derive_pings(s, d))
 
     q["knox_stat"] = _knox
+
+    def _gfn(s, d):
+        from roadgrinder_spark.spatial import pointpattern as pp
+
+        return pp.g_function(_pnts(s, d))
+
+    q["g_function"] = _gfn
     q["span_media_align"] = lambda s, d: spans.span_media_align(_packed(s, d))
     q["geocode_match"] = lambda s, d: sj.geocode_match(
         _pnts(s, d), rg.explode_aliases(_roads(s, d)).geocode_roads
@@ -940,6 +947,7 @@ def oracle_sql() -> dict[str, str]:
     from roadgrinder_spark.spatial import pointpattern as pp
 
     o["ripley_k"] = _with(*_split_body(pp.oracle_ripley_k_sql()), P)
+    o["g_function"] = _with(*_split_body(pp.oracle_g_function_sql()), P)
     o["knox_stat"] = _with(
         *_split_body(pp.oracle_knox_sql()), tj.PINGS_CTE
     )

@@ -233,6 +233,7 @@ def run_suite() -> dict:
     from roadgrinder_spark.spatial import pointpattern as ppt
 
     probe("q_ripley_k", lambda: ppt.ripley_k(pnts).collect())
+    probe("q_g_function", lambda: ppt.g_function(pnts).collect())
     probe("q_knox", lambda: ppt.knox(pings).collect())
     probe("q_spatial_block_split", lambda: sampling.spatial_block_split(
         pnts).groupBy("split").count().collect())

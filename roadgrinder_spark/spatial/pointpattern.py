@@ -359,3 +359,117 @@ SELECT kx_g.n_events,
                        / SQRT({e_expr})
              END, 6) AS z
 FROM kx_g CROSS JOIN kx_sp CROSS JOIN kx_tp"""
+
+
+def g_function(
+    points: DataFrame,
+    radii: tuple[float, ...] = RIPLEY_RADII,
+    cell_size: float = DEFAULT_CELL_SIZE,
+) -> DataFrame:
+    """(radius, n_points, nn_le, g_hat): nearest-neighbor distance
+    distribution (the G-function) at each radius — the FIRST-order
+    companion to ripley_k's second-order K: G(r) = fraction of points
+    whose nearest neighbor lies within r.
+
+    Censoring is explicit and exact: a point with NO neighbor within
+    max(radii) (= the lossless ring-1 bound) simply never enters nn_le;
+    G(r) is a true count ratio, not an estimate, for every r <= the cap.
+    Under CSR G(r) = 1 - exp(-λπr²); G above that curve means
+    aggregation — at the engine's lattice-clustered address points
+    G(31.25) is already near 1.
+
+    Shape: the same single pair pass as ripley_k, mirrored to both
+    directions (each unordered pair serves as a candidate for BOTH
+    endpoints), one min-per-point HashAggregate, then ONE conditional-
+    sum aggregate for all radii. nn_le counts are exact integers; g_hat
+    is the one final double division.
+    """
+    rs = sorted(float(r) for r in radii)
+    if not rs or rs[0] <= 0:
+        raise ValueError("radii must be positive")
+    if rs[-1] > cell_size:
+        raise ValueError("max radius must be <= cell_size for ring-1 pairing")
+    pairs = point_pairs_within(points, distance_m=rs[-1], cell_size=cell_size)
+    both = pairs.select(F.col("a_id").alias("pid"), "dist2").unionByName(
+        pairs.select(F.col("b_id").alias("pid"), "dist2")
+    )
+    nn = both.groupBy("pid").agg(F.min("dist2").alias("nn_dist2"))
+    counts = nn.agg(
+        *[
+            F.coalesce(
+                F.sum((F.col("nn_dist2") <= F.lit(r * r)).cast("long")),
+                F.lit(0).cast("long"),
+            ).alias(f"c_{i}")
+            for i, r in enumerate(rs)
+        ]
+    )
+    g = points.agg(F.count(F.lit(1)).alias("n_points"))
+    per_r = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("radius"),
+                    F.col(f"c_{i}").alias("nn_le"),
+                )
+                for i, r in enumerate(rs)
+            ]
+        )
+    ).alias("e")
+    g_hat = F.col("e.nn_le").cast("double") / F.col("n_points").cast("double")
+    return (
+        g.crossJoin(F.broadcast(counts))
+        .select("n_points", per_r)
+        .select(
+            F.col("e.radius").alias("radius"),
+            "n_points",
+            F.col("e.nn_le").alias("nn_le"),
+            F.round(g_hat, 6).alias("g_hat"),
+        )
+    )
+
+
+def oracle_g_function_sql(
+    radii: tuple[float, ...] = RIPLEY_RADII,
+    cell_size: float = DEFAULT_CELL_SIZE,
+) -> str:
+    """DuckDB mirror over the addrpnts CTE — bbox-range self-join
+    (per-point min, both directions via objectid !=), different pruning
+    than the engine's mirrored cell-ring pass."""
+    rs = sorted(float(r) for r in radii)
+    d = rs[-1]
+    conds = ",\n         ".join(
+        f"COALESCE(CAST(sum(CASE WHEN nn_dist2 <= {r * r!r} THEN 1 ELSE 0 END)"
+        f" AS BIGINT), 0) AS c_{i}"
+        for i, r in enumerate(rs)
+    )
+    branches = "\n  UNION ALL ".join(
+        f"SELECT CAST({r!r} AS DOUBLE) AS radius, c_{i} AS nn_le FROM gf_c"
+        for i, r in enumerate(rs)
+    )
+    return f"""
+gf_nn AS (
+  SELECT a.objectid AS pid,
+         min((b.px - a.px) * (b.px - a.px)
+             + (b.py - a.py) * (b.py - a.py)) AS nn_dist2
+  FROM addrpnts a JOIN addrpnts b
+    ON b.objectid <> a.objectid
+   AND b.px BETWEEN a.px - {d!r} AND a.px + {d!r}
+   AND b.py BETWEEN a.py - {d!r} AND a.py + {d!r}
+  WHERE (b.px - a.px) * (b.px - a.px)
+        + (b.py - a.py) * (b.py - a.py) <= {d * d!r}
+  GROUP BY 1
+),
+gf_c AS (
+  SELECT {conds}
+  FROM gf_nn
+),
+gf_g AS (
+  SELECT count(*) AS n_points FROM addrpnts
+),
+gf_r AS (
+  {branches}
+)
+SELECT r.radius, g.n_points, r.nn_le,
+       ROUND(CAST(r.nn_le AS DOUBLE) / CAST(g.n_points AS DOUBLE), 6)
+           AS g_hat
+FROM gf_g g CROSS JOIN gf_r r"""

@@ -659,3 +659,39 @@ def test_knox_vs_numpy(spark):
     # a user's temporally-adjacent pings are also spatially adjacent, so
     # the interaction signal must be strongly positive
     assert row.z > 5.0
+
+
+@pytest.mark.parametrize("name", ("g_function",))
+def test_gfunction_entry_matches_oracle(name, spark, duck):
+    import __spark_entry__ as entry_mod
+
+    fn = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql()[name]
+    assert_frames_match(fn(spark, SF_DIR), duck.sql(sql).df(), name)
+
+
+def test_g_function_vs_numpy(spark):
+    """nn_le counts == brute-force all-pairs numpy nearest neighbor."""
+    from roadgrinder_spark import datagen
+    from roadgrinder_spark.spatial import pointpattern as pp
+
+    pnts = datagen.derive_addrpnts(spark, SF_DIR)
+    pdf = pnts.select("px", "py").toPandas()
+    x, y = pdf["px"].to_numpy(), pdf["py"].to_numpy()
+    n = len(x)
+    d2 = (x[:, None] - x[None, :]) ** 2 + (y[:, None] - y[None, :]) ** 2
+    np.fill_diagonal(d2, np.inf)
+    nn = d2.min(axis=1)
+    out = {r.radius: r for r in pp.g_function(pnts).collect()}
+    assert set(out) == set(pp.RIPLEY_RADII)
+    prev = -1
+    for rad in sorted(pp.RIPLEY_RADII):
+        c = int((nn <= rad * rad).sum())
+        row = out[rad]
+        assert row.n_points == n
+        assert row.nn_le == c, rad
+        assert row.g_hat == pytest.approx(c / n, abs=1e-6)
+        assert row.nn_le >= prev  # G is monotone
+        prev = row.nn_le
+    # lattice-clustered points: nearly every point has a close neighbor
+    assert out[max(pp.RIPLEY_RADII)].g_hat > 0.5
