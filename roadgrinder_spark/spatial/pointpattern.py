@@ -253,8 +253,13 @@ def knox(
     close_t = (
         F.abs(F.col("bt") - F.col("at")) <= F.lit(int(dt_us))
     ).cast("long")
+    # shuffle_hash with the build on the UNEXPLODED a side (lesson 11:
+    # the 9x ring side must be the streamed side), and NO stats-driven
+    # broadcast: Generate keeps the child's size estimate, so at clone
+    # scale Catalyst plans a "small" broadcast that is actually 10 GiB —
+    # measured failing at 10 M pings before this hint
     sp = (
-        a.join(b, "cell")
+        a.hint("shuffle_hash").join(b, "cell")
         .filter(F.col("a_id") < F.col("b_id"))
         .filter(dist2 <= F.lit(float(ds) * float(ds)))
         .agg(
@@ -280,7 +285,7 @@ def knox(
         "b_id", "bt", (F.col("tb0") + F.col("d")).alias("tb")
     )
     tp = (
-        ta.join(tb, "tb")
+        ta.hint("shuffle_hash").join(tb, "tb")
         .filter(F.col("a_id") < F.col("b_id"))
         .filter(F.abs(F.col("bt") - F.col("at")) <= F.lit(int(dt_us)))
         .agg(F.count(F.lit(1)).alias("t_pairs"))
