@@ -494,6 +494,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pp.g_function(_pnts(s, d))
 
     q["g_function"] = _gfn
+
+    # round-6: areal interpolation — raster counts re-aggregated onto
+    # the zone layer by exact overlap fractions (integer area64 sums)
+    q["areal_interp"] = lambda s, d: sp.areal_interp(
+        sr.rasterize_points(_pnts(s, d)), sp.derive_zones(s, d)
+    )
     q["span_media_align"] = lambda s, d: spans.span_media_align(_packed(s, d))
     q["geocode_match"] = lambda s, d: sj.geocode_match(
         _pnts(s, d), rg.explode_aliases(_roads(s, d)).geocode_roads
@@ -948,6 +954,13 @@ def oracle_sql() -> dict[str, str]:
 
     o["ripley_k"] = _with(*_split_body(pp.oracle_ripley_k_sql()), P)
     o["g_function"] = _with(*_split_body(pp.oracle_g_function_sql()), P)
+    ai_body, ai_ctes = _split_body(
+        "\nai_cells AS ("
+        + sr.oracle_rasterize_points_sql().strip()
+        + "),"
+        + sp.oracle_areal_interp_sql()
+    )
+    o["areal_interp"] = _with(ai_body, P, sp.ZONES_CTE, ai_ctes)
     o["knox_stat"] = _with(
         *_split_body(pp.oracle_knox_sql()), tj.PINGS_CTE
     )

@@ -234,6 +234,9 @@ def run_suite() -> dict:
 
     probe("q_ripley_k", lambda: ppt.ripley_k(pnts).collect())
     probe("q_g_function", lambda: ppt.g_function(pnts).collect())
+    probe("q_areal_interp", lambda: spip.areal_interp(
+        sra.rasterize_points(pnts), spip.derive_zones(spark, SF_DIR)
+    ).collect())
     probe("q_knox", lambda: ppt.knox(pings).collect())
     probe("q_spatial_block_split", lambda: sampling.spatial_block_split(
         pnts).groupBy("split").count().collect())

@@ -255,3 +255,80 @@ SELECT a.zone_id AS zone_a, b.zone_id AS zone_b,
 FROM zones a JOIN zones_b b
   ON a.x_min < b.x_max AND b.x_min < a.x_max
  AND a.y_min < b.y_max AND b.y_min < a.y_max"""
+
+
+def areal_interp(raster: DataFrame, zones: DataFrame) -> DataFrame:
+    """Areal interpolation: transfer the cell raster's point counts onto
+    the zone layer, each cell weighted by its EXACT overlap fraction
+    with the zone — the standard GIS re-aggregation when source and
+    target units don't nest (census tracts -> service areas). Returns
+    (zone_id, zone_name, n_cells, wsum64, est_points).
+
+    Exactness: cell bounds are multiples of 125 m and zone bounds
+    multiples of 1/8 m (ZONES_CTE's +-3.125 insets), so overlap widths
+    x8 are exact integers and area x64 is an exact BIGINT — the weighted
+    count accumulates as SUM(n * area64) in integer arithmetic
+    (association-order-free, the zonal_stats discipline) and divides by
+    the constant cell area (125*125*64 = 1e6) ONCE at the end.
+
+    Plan: one broadcast nested-loop join of the aggregated raster
+    against the small zone dimension (the pip_join pattern — zones are
+    the broadcast side by construction), then one hash aggregate keyed
+    by zone. Scale is bounded by OCCUPIED CELLS, not points; for zone
+    layers too large to broadcast, cell-cover the zones and equi-join on
+    cell id first (the knn_join pattern), per-pair arithmetic unchanged.
+    """
+    s = 125.0  # DEFAULT_CELL_SIZE; 8*s and 64*s*s integral by contract
+    c = raster.select(
+        "cx", "cy", "n",
+        (F.col("cx") * F.lit(s)).alias("x0"),
+        ((F.col("cx") + 1) * F.lit(s)).alias("x1"),
+        (F.col("cy") * F.lit(s)).alias("y0"),
+        ((F.col("cy") + 1) * F.lit(s)).alias("y1"),
+    )
+    z = zones.select(
+        "zone_id", "zone_name",
+        F.col("x_min").alias("zx0"), F.col("x_max").alias("zx1"),
+        F.col("y_min").alias("zy0"), F.col("y_max").alias("zy1"),
+    )
+    w8 = ((F.least("x1", "zx1") - F.greatest("x0", "zx0")) * 8).cast("long")
+    h8 = ((F.least("y1", "zy1") - F.greatest("y0", "zy0")) * 8).cast("long")
+    area64 = w8 * h8
+    hits = c.join(
+        F.broadcast(z),
+        (F.col("x0") < F.col("zx1")) & (F.col("zx0") < F.col("x1"))
+        & (F.col("y0") < F.col("zy1")) & (F.col("zy0") < F.col("y1")),
+    )
+    agg = hits.groupBy("zone_id", "zone_name").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(F.col("n") * area64).alias("wsum64"),
+    )
+    return agg.select(
+        "zone_id", "zone_name", "n_cells", "wsum64",
+        F.round(F.col("wsum64") / F.lit(1_000_000.0), 6).alias("est_points"),
+    )
+
+
+def oracle_areal_interp_sql() -> str:
+    """Requires zones CTE + a rasterize CTE named ai_cells in scope."""
+    return """
+ai_rect AS (
+  SELECT cx, cy, n,
+         cx * 125.0 AS x0, (cx + 1) * 125.0 AS x1,
+         cy * 125.0 AS y0, (cy + 1) * 125.0 AS y1
+  FROM ai_cells
+),
+ai_hits AS (
+  SELECT z.zone_id, z.zone_name, c.n,
+         CAST((least(c.x1, z.x_max) - greatest(c.x0, z.x_min)) * 8
+              AS BIGINT)
+       * CAST((least(c.y1, z.y_max) - greatest(c.y0, z.y_min)) * 8
+              AS BIGINT) AS area64
+  FROM ai_rect c JOIN zones z
+    ON c.x0 < z.x_max AND z.x_min < c.x1
+   AND c.y0 < z.y_max AND z.y_min < c.y1
+)
+SELECT zone_id, zone_name, count(*) AS n_cells,
+       CAST(sum(n * area64) AS BIGINT) AS wsum64,
+       ROUND(CAST(sum(n * area64) AS BIGINT) / 1000000.0, 6) AS est_points
+FROM ai_hits GROUP BY 1, 2"""

@@ -395,8 +395,10 @@ def g_function(
     if rs[-1] > cell_size:
         raise ValueError("max radius must be <= cell_size for ring-1 pairing")
     pairs = point_pairs_within(points, distance_m=rs[-1], cell_size=cell_size)
-    both = pairs.select(F.col("a_id").alias("pid"), "dist2").unionByName(
-        pairs.select(F.col("b_id").alias("pid"), "dist2")
+    # mirror each pair to both endpoints with ONE generator — a union of
+    # two selects would make Spark evaluate the whole pair join twice
+    both = pairs.select(
+        F.explode(F.array("a_id", "b_id")).alias("pid"), "dist2"
     )
     nn = both.groupBy("pid").agg(F.min("dist2").alias("nn_dist2"))
     counts = nn.agg(

@@ -695,3 +695,54 @@ def test_g_function_vs_numpy(spark):
         prev = row.nn_le
     # lattice-clustered points: nearly every point has a close neighbor
     assert out[max(pp.RIPLEY_RADII)].g_hat > 0.5
+
+
+# ---------------------------------------------------------------------------
+# areal interpolation: oracle parity + pure-python overlap reference
+# ---------------------------------------------------------------------------
+
+
+def test_areal_interp_entry_matches_oracle(spark, duck):
+    import __spark_entry__ as entry_mod
+
+    fn = entry_mod.queries()["areal_interp"]
+    sql = entry_mod.oracle_sql()["areal_interp"]
+    assert_frames_match(fn(spark, SF_DIR), duck.sql(sql).df(), "areal_interp")
+
+
+def test_areal_interp_vs_python(spark):
+    """wsum64 == pure-python rectangle-overlap accumulation over the
+    collected raster and zone dicts (integer arithmetic, no Spark/SQL)."""
+    from roadgrinder_spark import datagen
+    from roadgrinder_spark.spatial import pip as sp
+    from roadgrinder_spark.spatial import raster as sr
+
+    pnts = datagen.derive_addrpnts(spark, SF_DIR)
+    raster = sr.rasterize_points(pnts).collect()
+    zones = sp.derive_zones(spark, SF_DIR).collect()
+    want: dict[int, list[int]] = {}
+    for z in zones:
+        acc = [0, 0]  # n_cells, wsum64
+        for c in raster:
+            x0, x1 = c.cx * 125.0, (c.cx + 1) * 125.0
+            y0, y1 = c.cy * 125.0, (c.cy + 1) * 125.0
+            if x0 < z.x_max and z.x_min < x1 and y0 < z.y_max and z.y_min < y1:
+                w8 = int((min(x1, z.x_max) - max(x0, z.x_min)) * 8)
+                h8 = int((min(y1, z.y_max) - max(y0, z.y_min)) * 8)
+                acc[0] += 1
+                acc[1] += c.n * w8 * h8
+        if acc[0]:
+            want[z.zone_id] = acc
+    out = sp.areal_interp(
+        sr.rasterize_points(pnts), sp.derive_zones(spark, SF_DIR)
+    ).collect()
+    got = {r.zone_id: [r.n_cells, r.wsum64] for r in out}
+    assert got == want
+    for r in out:
+        assert r.est_points == pytest.approx(r.wsum64 / 1e6, abs=1e-6)
+    # interior cells transfer fully: total estimate is close to (and
+    # bounded by) the true point count
+    total_est = sum(r.wsum64 for r in out) / 1e6
+    n_total = pnts.count()
+    assert total_est <= n_total + 1e-6
+    assert total_est > 0.5 * n_total
