@@ -500,6 +500,13 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["areal_interp"] = lambda s, d: sp.areal_interp(
         sr.rasterize_points(_pnts(s, d)), sp.derive_zones(s, d)
     )
+
+    def _jc(s, d):
+        from roadgrinder_spark.spatial import hotspot as hs
+
+        return hs.join_counts(sr.rasterize_points(_pnts(s, d)))
+
+    q["join_counts"] = _jc
     q["span_media_align"] = lambda s, d: spans.span_media_align(_packed(s, d))
     q["geocode_match"] = lambda s, d: sj.geocode_match(
         _pnts(s, d), rg.explode_aliases(_roads(s, d)).geocode_roads
@@ -961,6 +968,7 @@ def oracle_sql() -> dict[str, str]:
         + sp.oracle_areal_interp_sql()
     )
     o["areal_interp"] = _with(ai_body, P, sp.ZONES_CTE, ai_ctes)
+    o["join_counts"] = _with(*_split_body(hs.oracle_join_counts_sql()), P)
     o["knox_stat"] = _with(
         *_split_body(pp.oracle_knox_sql()), tj.PINGS_CTE
     )

@@ -237,6 +237,8 @@ def run_suite() -> dict:
     probe("q_areal_interp", lambda: spip.areal_interp(
         sra.rasterize_points(pnts), spip.derive_zones(spark, SF_DIR)
     ).collect())
+    probe("q_join_counts", lambda: hsp.join_counts(
+        sra.rasterize_points(pnts)).collect())
     probe("q_knox", lambda: ppt.knox(pings).collect())
     probe("q_spatial_block_split", lambda: sampling.spatial_block_split(
         pnts).groupBy("split").count().collect())

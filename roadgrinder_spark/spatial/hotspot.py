@@ -452,3 +452,131 @@ SELECT g.n_units, p.w_pairs,
            AS morans_i,
        ROUND(-1.0 / (CAST(g.n_units AS DOUBLE) - 1.0), 6) AS expected_i
 FROM mi_pairs p CROSS JOIN mi_g g"""
+
+
+def join_counts(
+    raster: DataFrame, hot_threshold: int = 2, radius: int = 1
+) -> DataFrame:
+    """One row (n_units, n_hot, j_pairs, bb, bw, ww, e_bb, e_bw, e_ww):
+    join-count statistics — the categorical-autocorrelation companion to
+    morans_i. Cells are classified hot (n >= hot_threshold) / cold, and
+    every unordered pair of ADJACENT occupied cells (Chebyshev ring-1,
+    queen contiguity) is counted by class: BB (hot-hot joins), BW
+    (mixed), WW (cold-cold). Clustering shows as BB/WW above and BW
+    below the nonfree-sampling (hypergeometric) expectations
+
+      E[BB] = J·nb·(nb−1)/(n·(n−1))   E[BW] = J·2·nb·nw/(n·(n−1))
+      E[WW] = J·nw·(nw−1)/(n·(n−1))
+
+    with J = bb+bw+ww total adjacent pairs. All observed counts are
+    exact integers; the three expectations are one final double
+    expression each (identical op order cross-engine, rounded to 6).
+
+    Shape: the morans_i pair pass with a packed-id tiebreak (each
+    adjacent unordered pair joins EXACTLY once: the a side keeps its own
+    cell, the b side explodes the (2r+1)² window, strict pack < pack
+    keeps one orientation and drops the self-offset) reduced by one
+    conditional aggregate; globals ride a broadcast 1-row join.
+    """
+    offs = F.sequence(F.lit(-radius), F.lit(radius))
+    hot = (F.col("n") >= F.lit(int(hot_threshold))).cast("long")
+    a = raster.select(
+        "cx", "cy", hot.alias("ha"), pack_cell(F.col("cx"), F.col("cy")).alias("pa")
+    )
+    b = (
+        raster.select("cx", "cy", hot.alias("hb"))
+        .select("cx", "cy", "hb", F.explode(offs).alias("dx"))
+        .select("cx", "cy", "hb", "dx", F.explode(offs).alias("dy"))
+        .select(
+            (F.col("cx") + F.col("dx")).alias("cx"),
+            (F.col("cy") + F.col("dy")).alias("cy"),
+            "hb",
+            pack_cell(F.col("cx"), F.col("cy")).alias("pb"),
+        )
+    )
+    obs = (
+        a.hint("shuffle_hash")
+        .join(b, ["cx", "cy"])
+        .filter(F.col("pa") < F.col("pb"))
+        .agg(
+            F.sum(F.col("ha") * F.col("hb")).alias("bb"),
+            F.sum(
+                (F.lit(1) - F.col("ha")) * (F.lit(1) - F.col("hb"))
+            ).alias("ww"),
+            F.sum(
+                F.col("ha") + F.col("hb")
+                - 2 * F.col("ha") * F.col("hb")
+            ).alias("bw"),
+        )
+    )
+    g = raster.agg(
+        F.count(F.lit(1)).alias("n_units"), F.sum(hot).alias("n_hot")
+    )
+    nd = F.col("n_units").cast("double")
+    nb_ = F.col("n_hot").cast("double")
+    nw_ = nd - nb_
+    jd = (F.col("bb") + F.col("bw") + F.col("ww")).cast("double")
+    denom = nd * (nd - F.lit(1.0))
+    return (
+        g.crossJoin(F.broadcast(obs))
+        .select(
+            "n_units",
+            "n_hot",
+            (F.col("bb") + F.col("bw") + F.col("ww")).alias("j_pairs"),
+            "bb",
+            "bw",
+            "ww",
+            F.round(jd * (nb_ * (nb_ - F.lit(1.0))) / denom, 6).alias("e_bb"),
+            F.round(jd * (F.lit(2.0) * nb_ * nw_) / denom, 6).alias("e_bw"),
+            F.round(jd * (nw_ * (nw_ - F.lit(1.0))) / denom, 6).alias("e_ww"),
+        )
+    )
+
+
+def oracle_join_counts_sql(
+    cell_size: float = DEFAULT_CELL_SIZE,
+    hot_threshold: int = 2,
+    radius: int = 1,
+) -> str:
+    """DuckDB mirror: range self-join on cx/cy deltas with the same
+    packed-id tiebreak (different pruning than the engine's explode —
+    the match is evidence the exactly-once pairing is right)."""
+    base = oracle_rasterize_points_sql(cell_size)
+    t = int(hot_threshold)
+    r = int(radius)
+    return f"""
+jc_base AS (
+  SELECT cx, cy, CASE WHEN n >= {t} THEN 1 ELSE 0 END AS h,
+         cx * {PACK} + cy + {CY_BIAS} AS p
+  FROM ({base.strip()})
+),
+jc_obs AS (
+  SELECT CAST(sum(a.h * b.h) AS BIGINT) AS bb,
+         CAST(sum((1 - a.h) * (1 - b.h)) AS BIGINT) AS ww,
+         CAST(sum(a.h + b.h - 2 * a.h * b.h) AS BIGINT) AS bw
+  FROM jc_base a JOIN jc_base b
+    ON b.cx BETWEEN a.cx - {r} AND a.cx + {r}
+   AND b.cy BETWEEN a.cy - {r} AND a.cy + {r}
+   AND a.p < b.p
+),
+jc_g AS (
+  SELECT count(*) AS n_units, CAST(sum(h) AS BIGINT) AS n_hot
+  FROM jc_base
+)
+SELECT g.n_units, g.n_hot,
+       o.bb + o.bw + o.ww AS j_pairs, o.bb, o.bw, o.ww,
+       ROUND(CAST(o.bb + o.bw + o.ww AS DOUBLE)
+             * (CAST(g.n_hot AS DOUBLE) * (CAST(g.n_hot AS DOUBLE) - 1.0))
+             / (CAST(g.n_units AS DOUBLE)
+                * (CAST(g.n_units AS DOUBLE) - 1.0)), 6) AS e_bb,
+       ROUND(CAST(o.bb + o.bw + o.ww AS DOUBLE)
+             * (2.0 * CAST(g.n_hot AS DOUBLE)
+                * (CAST(g.n_units AS DOUBLE) - CAST(g.n_hot AS DOUBLE)))
+             / (CAST(g.n_units AS DOUBLE)
+                * (CAST(g.n_units AS DOUBLE) - 1.0)), 6) AS e_bw,
+       ROUND(CAST(o.bb + o.bw + o.ww AS DOUBLE)
+             * ((CAST(g.n_units AS DOUBLE) - CAST(g.n_hot AS DOUBLE))
+                * (CAST(g.n_units AS DOUBLE) - CAST(g.n_hot AS DOUBLE) - 1.0))
+             / (CAST(g.n_units AS DOUBLE)
+                * (CAST(g.n_units AS DOUBLE) - 1.0)), 6) AS e_ww
+FROM jc_g g CROSS JOIN jc_obs o"""

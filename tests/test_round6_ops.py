@@ -746,3 +746,61 @@ def test_areal_interp_vs_python(spark):
     n_total = pnts.count()
     assert total_est <= n_total + 1e-6
     assert total_est > 0.5 * n_total
+
+
+# ---------------------------------------------------------------------------
+# join-count statistics: oracle parity + pure-python adjacency reference
+# ---------------------------------------------------------------------------
+
+
+def test_join_counts_entry_matches_oracle(spark, duck):
+    import __spark_entry__ as entry_mod
+
+    fn = entry_mod.queries()["join_counts"]
+    sql = entry_mod.oracle_sql()["join_counts"]
+    assert_frames_match(fn(spark, SF_DIR), duck.sql(sql).df(), "join_counts")
+
+
+def test_join_counts_vs_python(spark):
+    """BB/BW/WW == brute-force python loop over the collected raster;
+    the density surface must show positive autocorrelation (BB and WW
+    above, BW below expectation)."""
+    from roadgrinder_spark import datagen
+    from roadgrinder_spark.spatial import hotspot as hs
+    from roadgrinder_spark.spatial import raster as sr
+
+    counts = _raster_counts(spark)
+    cls = {k: v >= 2 for k, v in counts.items()}
+    bb = bw = ww = 0
+    for (cx, cy), ha in cls.items():
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                hb = cls.get((cx + dx, cy + dy))
+                if hb is None or (cx, cy) > (cx + dx, cy + dy):
+                    continue
+                if ha and hb:
+                    bb += 1
+                elif not ha and not hb:
+                    ww += 1
+                else:
+                    bw += 1
+    n, nb = len(cls), sum(cls.values())
+    j = bb + bw + ww
+    pnts = datagen.derive_addrpnts(spark, SF_DIR)
+    row = hs.join_counts(sr.rasterize_points(pnts)).collect()[0]
+    assert (row.n_units, row.n_hot) == (n, nb)
+    assert (row.bb, row.bw, row.ww, row.j_pairs) == (bb, bw, ww, j)
+    nw = n - nb
+    assert row.e_bb == pytest.approx(j * nb * (nb - 1) / (n * (n - 1)), abs=1e-6)
+    assert row.e_bw == pytest.approx(j * 2 * nb * nw / (n * (n - 1)), abs=1e-6)
+    assert row.e_ww == pytest.approx(j * nw * (nw - 1) / (n * (n - 1)), abs=1e-6)
+    # deviations from expectation sum to zero (J is fixed), and the
+    # surface is non-degenerate (observed != expected). Direction at
+    # sf0.001 is mildly DISPERSED (bb < e_bb — same attribution as
+    # test_morans_i_vs_textbook), so no clustering-sign assertion here;
+    # the engine==python equality above is the test.
+    dev = (row.bb - row.e_bb) + (row.bw - row.e_bw) + (row.ww - row.e_ww)
+    assert dev == pytest.approx(0.0, abs=3e-6)
+    assert abs(row.bw - row.e_bw) > 1.0
