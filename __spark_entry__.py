@@ -507,6 +507,24 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return hs.join_counts(sr.rasterize_points(_pnts(s, d)))
 
     q["join_counts"] = _jc
+
+    def _bm(s, d):
+        from roadgrinder_spark.spatial import hotspot as hs
+        from roadgrinder_spark.spatial import trajectory as tj
+
+        pings = tj.derive_pings(s, d)
+        ry = (
+            pings.selectExpr(
+                "CAST(FLOOR(px / 125.0) AS BIGINT) AS cx",
+                "CAST(FLOOR(py / 125.0) AS BIGINT) AS cy",
+            )
+            .groupBy("cx", "cy")
+            .count()
+            .withColumnRenamed("count", "n")
+        )
+        return hs.bivariate_moran(sr.rasterize_points(_pnts(s, d)), ry)
+
+    q["bivariate_moran"] = _bm
     q["span_media_align"] = lambda s, d: spans.span_media_align(_packed(s, d))
     q["geocode_match"] = lambda s, d: sj.geocode_match(
         _pnts(s, d), rg.explode_aliases(_roads(s, d)).geocode_roads
@@ -969,6 +987,9 @@ def oracle_sql() -> dict[str, str]:
     )
     o["areal_interp"] = _with(ai_body, P, sp.ZONES_CTE, ai_ctes)
     o["join_counts"] = _with(*_split_body(hs.oracle_join_counts_sql()), P)
+    o["bivariate_moran"] = _with(
+        *_split_body(hs.oracle_bivariate_moran_sql()), P, tj.PINGS_CTE
+    )
     o["knox_stat"] = _with(
         *_split_body(pp.oracle_knox_sql()), tj.PINGS_CTE
     )

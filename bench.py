@@ -239,6 +239,14 @@ def run_suite() -> dict:
     ).collect())
     probe("q_join_counts", lambda: hsp.join_counts(
         sra.rasterize_points(pnts)).collect())
+    _ping_raster = (
+        pings.selectExpr(
+            "CAST(FLOOR(px / 125.0) AS BIGINT) AS cx",
+            "CAST(FLOOR(py / 125.0) AS BIGINT) AS cy",
+        ).groupBy("cx", "cy").count().withColumnRenamed("count", "n")
+    )
+    probe("q_bivariate_moran", lambda: hsp.bivariate_moran(
+        sra.rasterize_points(pnts), _ping_raster).collect())
     probe("q_knox", lambda: ppt.knox(pings).collect())
     probe("q_spatial_block_split", lambda: sampling.spatial_block_split(
         pnts).groupBy("split").count().collect())

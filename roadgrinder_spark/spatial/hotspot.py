@@ -580,3 +580,143 @@ SELECT g.n_units, g.n_hot,
              / (CAST(g.n_units AS DOUBLE)
                 * (CAST(g.n_units AS DOUBLE) - 1.0)), 6) AS e_ww
 FROM jc_g g CROSS JOIN jc_obs o"""
+
+
+def bivariate_moran(
+    raster_x: DataFrame, raster_y: DataFrame, radius: int = 1
+) -> DataFrame:
+    """One row (n_units, w_pairs, a_xy, bivariate_i): bivariate Moran's
+    I between two cell rasters — does variable x in a cell co-locate
+    with variable y in the NEIGHBORING cells? (e.g. address density vs
+    activity density: the cross-layer question the univariate morans_i
+    cannot ask.)
+
+      I_xy = n·Σ_pairs (x_i−x̄)(y_j−ȳ)
+             / (W · sqrt(Σ(x−x̄)² · Σ(y−ȳ)²))
+
+    over directed present-neighbor pairs (j ≠ i, binary queen weights).
+    Units are the UNION of cells occupied by either layer with the
+    missing side an explicit 0 (a cell with addresses but no activity is
+    a real observation of y = 0, not a gap).
+
+    Numerics (the morans_i discipline): the pair pass reduces to four
+    exact BIGINT sums (A = Σx_i·y_j, Bx = Σx_i, By = Σy_j, W) and the
+    globals to five (n, S1x, S2x, S1y, S2y); the index is ONE final
+    double expression with the numerator expanded to integer terms
+      n²·A − n·S1y·Bx − n·S1x·By + S1x·S1y·W
+    evaluated in DOUBLE (n²·A overflows BIGINT at extreme unit counts).
+
+    Shape: full-outer equi-join of the two aggregated rasters, then the
+    morans_i spread/join/aggregate — bounded by occupied cells, one
+    cell-keyed shuffle, globals on a broadcast 1-row join.
+    """
+    x = raster_x.select("cx", "cy", F.col("n").alias("x"))
+    y = raster_y.select("cx", "cy", F.col("n").alias("y"))
+    units = (
+        x.join(y, ["cx", "cy"], "full")
+        .withColumn("x", F.coalesce(F.col("x"), F.lit(0)))
+        .withColumn("y", F.coalesce(F.col("y"), F.lit(0)))
+    )
+    g = units.agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum("x").alias("s1x"),
+        F.sum(F.col("x") * F.col("x")).alias("s2x"),
+        F.sum("y").alias("s1y"),
+        F.sum(F.col("y") * F.col("y")).alias("s2y"),
+    )
+    offs = F.sequence(F.lit(-radius), F.lit(radius))
+    spread = (
+        units.select("cx", "cy", "y", F.explode(offs).alias("dx"))
+        .select("cx", "cy", "y", "dx", F.explode(offs).alias("dy"))
+        .filter(~((F.col("dx") == 0) & (F.col("dy") == 0)))
+        .select(
+            (F.col("cx") + F.col("dx")).alias("cx"),
+            (F.col("cy") + F.col("dy")).alias("cy"),
+            F.col("y").alias("yj"),
+        )
+    )
+    pairs = (
+        units.select("cx", "cy", "x")
+        .hint("shuffle_hash")
+        .join(spread, ["cx", "cy"])
+        .agg(
+            F.sum(F.col("x") * F.col("yj")).alias("a_xy"),
+            F.sum("x").alias("bx"),
+            F.sum("yj").alias("by"),
+            F.count(F.lit(1)).alias("w_pairs"),
+        )
+    )
+    nd = F.col("n_units").cast("double")
+    ad = F.col("a_xy").cast("double")
+    bxd, byd = F.col("bx").cast("double"), F.col("by").cast("double")
+    wd = F.col("w_pairs").cast("double")
+    s1x, s2x = F.col("s1x").cast("double"), F.col("s2x").cast("double")
+    s1y, s2y = F.col("s1y").cast("double"), F.col("s2y").cast("double")
+    num = nd * nd * ad - nd * s1y * bxd - nd * s1x * byd + s1x * s1y * wd
+    den = wd * F.sqrt((nd * s2x - s1x * s1x) * (nd * s2y - s1y * s1y))
+    return (
+        g.crossJoin(F.broadcast(pairs))
+        .select(
+            "n_units",
+            "w_pairs",
+            "a_xy",
+            F.round(num / den, 6).alias("bivariate_i"),
+        )
+    )
+
+
+def oracle_bivariate_moran_sql(
+    cell_size: float = DEFAULT_CELL_SIZE, radius: int = 1
+) -> str:
+    """DuckDB mirror: x from the addrpnts raster, y from the pings
+    raster (caller composes the addrpnts + pings CTEs)."""
+    base_x = oracle_rasterize_points_sql(cell_size)
+    return f"""
+bm_x AS ({base_x.strip()}),
+bm_y AS (
+  SELECT CAST(FLOOR(px / {cell_size}) AS BIGINT) AS cx,
+         CAST(FLOOR(py / {cell_size}) AS BIGINT) AS cy,
+         count(*) AS n
+  FROM pings GROUP BY 1, 2
+),
+bm_u AS (
+  SELECT COALESCE(x.cx, y.cx) AS cx, COALESCE(x.cy, y.cy) AS cy,
+         COALESCE(x.n, 0) AS x, COALESCE(y.n, 0) AS y
+  FROM bm_x x FULL JOIN bm_y y ON x.cx = y.cx AND x.cy = y.cy
+),
+bm_g AS (
+  SELECT count(*) AS n_units,
+         CAST(sum(x) AS BIGINT) AS s1x, CAST(sum(x * x) AS BIGINT) AS s2x,
+         CAST(sum(y) AS BIGINT) AS s1y, CAST(sum(y * y) AS BIGINT) AS s2y
+  FROM bm_u
+),
+bm_s AS (
+  SELECT u.cx + dx.dx AS cx, u.cy + dy.dy AS cy, u.y AS yj
+  FROM bm_u u,
+       LATERAL (SELECT unnest(range({-radius}, {radius} + 1)) AS dx) dx,
+       LATERAL (SELECT unnest(range({-radius}, {radius} + 1)) AS dy) dy
+  WHERE NOT (dx.dx = 0 AND dy.dy = 0)
+),
+bm_p AS (
+  SELECT CAST(sum(u.x * s.yj) AS BIGINT) AS a_xy,
+         CAST(sum(u.x) AS BIGINT) AS bx,
+         CAST(sum(s.yj) AS BIGINT) AS b_y,
+         count(*) AS w_pairs
+  FROM bm_u u JOIN bm_s s ON s.cx = u.cx AND s.cy = u.cy
+)
+SELECT g.n_units, p.w_pairs, p.a_xy,
+       ROUND((CAST(g.n_units AS DOUBLE) * CAST(g.n_units AS DOUBLE)
+              * CAST(p.a_xy AS DOUBLE)
+              - CAST(g.n_units AS DOUBLE) * CAST(g.s1y AS DOUBLE)
+                * CAST(p.bx AS DOUBLE)
+              - CAST(g.n_units AS DOUBLE) * CAST(g.s1x AS DOUBLE)
+                * CAST(p.b_y AS DOUBLE)
+              + CAST(g.s1x AS DOUBLE) * CAST(g.s1y AS DOUBLE)
+                * CAST(p.w_pairs AS DOUBLE))
+             / (CAST(p.w_pairs AS DOUBLE)
+                * SQRT((CAST(g.n_units AS DOUBLE) * CAST(g.s2x AS DOUBLE)
+                        - CAST(g.s1x AS DOUBLE) * CAST(g.s1x AS DOUBLE))
+                       * (CAST(g.n_units AS DOUBLE) * CAST(g.s2y AS DOUBLE)
+                          - CAST(g.s1y AS DOUBLE) * CAST(g.s1y AS DOUBLE)))),
+             6) AS bivariate_i
+FROM bm_g g CROSS JOIN bm_p p"""

@@ -804,3 +804,74 @@ def test_join_counts_vs_python(spark):
     dev = (row.bb - row.e_bb) + (row.bw - row.e_bw) + (row.ww - row.e_ww)
     assert dev == pytest.approx(0.0, abs=3e-6)
     assert abs(row.bw - row.e_bw) > 1.0
+
+
+# ---------------------------------------------------------------------------
+# bivariate Moran's I: oracle parity + textbook float reference
+# ---------------------------------------------------------------------------
+
+
+def test_bivariate_moran_entry_matches_oracle(spark, duck):
+    import __spark_entry__ as entry_mod
+
+    fn = entry_mod.queries()["bivariate_moran"]
+    sql = entry_mod.oracle_sql()["bivariate_moran"]
+    assert_frames_match(
+        fn(spark, SF_DIR), duck.sql(sql).df(), "bivariate_moran"
+    )
+
+
+def test_bivariate_moran_vs_textbook(spark):
+    """I_xy == textbook mean-centered float form over the union grid;
+    symmetric under layer swap (queen weights are symmetric)."""
+    from roadgrinder_spark.spatial import hotspot as hs
+    from roadgrinder_spark.spatial import raster as sr
+    from roadgrinder_spark.spatial import trajectory as tj
+    from roadgrinder_spark import datagen
+
+    counts_x = _raster_counts(spark)
+    pings = tj.derive_pings(spark, SF_DIR)
+    counts_y = {}
+    for r in pings.selectExpr(
+        "CAST(FLOOR(px / 125.0) AS BIGINT) cx",
+        "CAST(FLOOR(py / 125.0) AS BIGINT) cy",
+    ).collect():
+        counts_y[(r.cx, r.cy)] = counts_y.get((r.cx, r.cy), 0) + 1
+    units = sorted(set(counts_x) | set(counts_y))
+    xs = {k: float(counts_x.get(k, 0)) for k in units}
+    ys = {k: float(counts_y.get(k, 0)) for k in units}
+    n = len(units)
+    xbar = sum(xs.values()) / n
+    ybar = sum(ys.values()) / n
+    num = w = 0.0
+    for (cx, cy) in units:
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                kj = (cx + dx, cy + dy)
+                if kj in xs:
+                    num += (xs[(cx, cy)] - xbar) * (ys[kj] - ybar)
+                    w += 1.0
+    sx = sum((v - xbar) ** 2 for v in xs.values())
+    sy = sum((v - ybar) ** 2 for v in ys.values())
+    want = n * num / (w * math.sqrt(sx * sy))
+    pnts = datagen.derive_addrpnts(spark, SF_DIR)
+    ry = (
+        pings.selectExpr(
+            "CAST(FLOOR(px / 125.0) AS BIGINT) AS cx",
+            "CAST(FLOOR(py / 125.0) AS BIGINT) AS cy",
+        )
+        .groupBy("cx", "cy")
+        .count()
+        .withColumnRenamed("count", "n")
+    )
+    rx = sr.rasterize_points(pnts)
+    row = hs.bivariate_moran(rx, ry).collect()[0]
+    assert row.n_units == n and row.w_pairs == int(w)
+    assert row.bivariate_i == pytest.approx(want, abs=2e-6)
+    # symmetry: swapping the layers gives the same index with queen
+    # weights (w_ij symmetric), on the same unit set
+    swapped = hs.bivariate_moran(ry, rx).collect()[0]
+    assert swapped.bivariate_i == pytest.approx(row.bivariate_i, abs=2e-6)
+    assert (swapped.n_units, swapped.w_pairs) == (row.n_units, row.w_pairs)
