@@ -257,19 +257,24 @@ FROM zones a JOIN zones_b b
  AND a.y_min < b.y_max AND b.y_min < a.y_max"""
 
 
-def areal_interp(raster: DataFrame, zones: DataFrame) -> DataFrame:
+def areal_interp(
+    raster: DataFrame, zones: DataFrame, cell_size: float = 125.0
+) -> DataFrame:
     """Areal interpolation: transfer the cell raster's point counts onto
     the zone layer, each cell weighted by its EXACT overlap fraction
     with the zone — the standard GIS re-aggregation when source and
     target units don't nest (census tracts -> service areas). Returns
     (zone_id, zone_name, n_cells, wsum64, est_points).
 
-    Exactness: cell bounds are multiples of 125 m and zone bounds
+    Exactness: cell bounds are multiples of cell_size and zone bounds
     multiples of 1/8 m (ZONES_CTE's +-3.125 insets), so overlap widths
     x8 are exact integers and area x64 is an exact BIGINT — the weighted
     count accumulates as SUM(n * area64) in integer arithmetic
     (association-order-free, the zonal_stats discipline) and divides by
-    the constant cell area (125*125*64 = 1e6) ONCE at the end.
+    the constant cell area (cell_size^2 * 64; 1e6 at the 125 m default)
+    ONCE at the end. cell_size MUST match the raster's and be a multiple
+    of 1/8 m — validated, not assumed (a mismatched cell_size would be
+    silently wrong everywhere).
 
     Plan: one broadcast nested-loop join of the aggregated raster
     against the small zone dimension (the pip_join pattern — zones are
@@ -278,7 +283,12 @@ def areal_interp(raster: DataFrame, zones: DataFrame) -> DataFrame:
     layers too large to broadcast, cell-cover the zones and equi-join on
     cell id first (the knn_join pattern), per-pair arithmetic unchanged.
     """
-    s = 125.0  # DEFAULT_CELL_SIZE; 8*s and 64*s*s integral by contract
+    s = float(cell_size)
+    if s <= 0 or not (s * 8).is_integer():
+        raise ValueError(
+            "cell_size must be a positive multiple of 1/8 m for exact "
+            "integer overlap areas"
+        )
     c = raster.select(
         "cx", "cy", "n",
         (F.col("cx") * F.lit(s)).alias("x0"),
@@ -303,9 +313,10 @@ def areal_interp(raster: DataFrame, zones: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_cells"),
         F.sum(F.col("n") * area64).alias("wsum64"),
     )
+    cell_area64 = float(int(s * 8) * int(s * 8))
     return agg.select(
         "zone_id", "zone_name", "n_cells", "wsum64",
-        F.round(F.col("wsum64") / F.lit(1_000_000.0), 6).alias("est_points"),
+        F.round(F.col("wsum64") / F.lit(cell_area64), 6).alias("est_points"),
     )
 
 
