@@ -1,6 +1,10 @@
 """Spatial-autocorrelation hotspot analytics over the cell raster:
-Getis–Ord Gi* z-scores (local hotspot/coldspot detection) and global
-Moran's I (clustering vs dispersion of the whole surface).
+Getis–Ord Gi* z-scores (local hotspot/coldspot detection), global
+Moran's I (clustering vs dispersion of the whole surface), Anselin's
+local Moran / LISA quadrants, bivariate Moran's I (cross-layer
+co-location), join-count statistics (categorical autocorrelation), and
+Mann–Kendall emerging-hotspot trends (per-cell monotone trend over the
+daily series).
 
 These are the standard "where are the statistically significant dense
 clusters" operators a locator/analytics stack runs AFTER rasterizing —
