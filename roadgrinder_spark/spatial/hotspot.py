@@ -48,11 +48,31 @@ unit counts.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .cells import CY_BIAS, DEFAULT_CELL_SIZE, PACK, pack_cell
 from .raster import oracle_rasterize_points_sql
+
+
+def round6z(col: Column) -> Column:
+    """6-dp round matching DuckDB ROUND's signed-zero behavior.
+
+    DuckDB's ROUND preserves the sign of a zero result (-1e-9 → -0.0);
+    Spark's HALF_UP round collapses it to +0.0, and the driver's value
+    hash distinguishes the two (CORRECTNESS r6: `lisa_quadrants` red on
+    exactly this, every value equal otherwise). Both engines compute the
+    identical pre-round double, so emitting a negative zero exactly when
+    the pre-round value is negative (or is -0.0 itself — both read off
+    the sign of the value's string form; a 1/x sign probe would raise
+    DIVIDE_BY_ZERO under Spark 4's default ANSI mode) makes the rounded
+    doubles bit-identical to the oracle's.
+    Applied to every statistic emitter whose pre-round value can be
+    negative (gi z, lisa, Mann–Kendall z, Moran's I, bivariate I, Knox
+    z); always-nonnegative emitters are left on plain F.round."""
+    r = F.round(col, 6)
+    neg = col.cast("string").startswith("-")
+    return F.when((r == 0) & neg, -F.abs(r)).otherwise(r)
 
 
 def _globals_row(raster: DataFrame) -> DataFrame:
@@ -99,7 +119,7 @@ def gi_star(raster: DataFrame, radius: int = 1) -> DataFrame:
         .select(
             pack_cell(F.col("cx"), F.col("cy")).alias("cell"),
             "cx", "cy", "x", "wi", "wx",
-            F.round(z, 6).alias("z"),
+            round6z(z).alias("z"),
         )
     )
 
@@ -203,7 +223,7 @@ def local_morans(raster: DataFrame, radius: int = 1) -> DataFrame:
         .select(
             pack_cell(F.col("cx"), F.col("cy")).alias("cell"),
             "cx", "cy", "x", "wi", "lx",
-            F.round(lisa, 6).alias("lisa"),
+            round6z(lisa).alias("lisa"),
             quad.alias("quadrant"),
         )
     )
@@ -326,7 +346,7 @@ def emerging_hotspots(
     return mk.select(
         pack_cell(F.col("cx"), F.col("cy")).alias("cell"),
         "cx", "cy", "n_total", "mk_stat",
-        F.round(z, 6).alias("z"),
+        round6z(z).alias("z"),
         trend.alias("trend"),
     )
 
@@ -411,8 +431,8 @@ def morans_i(raster: DataFrame, radius: int = 1) -> DataFrame:
         .select(
             "n_units",
             "w_pairs",
-            F.round(i_val, 6).alias("morans_i"),
-            F.round(F.lit(-1.0) / (nd - F.lit(1.0)), 6).alias("expected_i"),
+            round6z(i_val).alias("morans_i"),
+            round6z(F.lit(-1.0) / (nd - F.lit(1.0))).alias("expected_i"),
         )
     )
 
@@ -664,7 +684,7 @@ def bivariate_moran(
             "n_units",
             "w_pairs",
             "a_xy",
-            F.round(num / den, 6).alias("bivariate_i"),
+            round6z(num / den).alias("bivariate_i"),
         )
     )
 

@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .cells import DEFAULT_CELL_SIZE, cell_xy, pack_cell
+from .hotspot import round6z
 from .join import oracle_point_pairs_sql, point_pairs_within
 
 #: default K-function evaluation radii (m) — quarter-cell steps up to
@@ -310,7 +311,7 @@ def knox(
             "t_pairs",
             "st_pairs",
             F.round(ed, 6).alias("expected_st"),
-            F.round(z, 6).alias("z"),
+            round6z(z).alias("z"),
         )
     )
 

@@ -875,3 +875,64 @@ def test_bivariate_moran_vs_textbook(spark):
     swapped = hs.bivariate_moran(ry, rx).collect()[0]
     assert swapped.bivariate_i == pytest.approx(row.bivariate_i, abs=2e-6)
     assert (swapped.n_units, swapped.w_pairs) == (row.n_units, row.w_pairs)
+
+
+# ---------------------------------------------------------------------------
+# round 7 (VERDICT r6 #1): signed-zero parity of the rounded-statistic
+# family. DuckDB ROUND(x, 6) preserves the sign of a zero result
+# (-1e-9 -> -0.0); Spark's round collapses it to +0.0 — the one red r6
+# gate row (lisa_quadrants). round6z normalizes the ENGINE side only
+# (oracle SQL is frozen), emitting -0.0 exactly when DuckDB does.
+# ---------------------------------------------------------------------------
+
+
+def test_round6z_matches_duckdb_round_signed_zero(spark, duck):
+    from pyspark.sql import functions as F
+
+    from roadgrinder_spark.spatial.hotspot import round6z
+
+    # -0.0 planted as the EXPRESSION 0.0 * -1.0: a -0.0 decimal literal
+    # parses to +0.0 in DuckDB, but computed negative zeros (the case the
+    # statistics actually produce) survive — and ROUND preserves them
+    planted = [
+        -1e-9, 1e-9, -4.9e-7, 4.9e-7, -5.1e-7, 5.1e-7, 0.0 * -1.0, 0.0,
+        -1.0, 1.0, -0.1234565, 0.1234565, -2.5e-7, 3.14159265, -3.14159265,
+    ]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(planted)], "i int, v double")
+    got = {
+        r["i"]: r["z"]
+        for r in df.select("i", round6z(F.col("v")).alias("z")).collect()
+    }
+    sql_vals = [
+        "(0.0::DOUBLE * -1.0)" if i == 6 else f"({v!r})::DOUBLE"
+        for i, v in enumerate(planted)
+    ]
+    rows = duck.sql(
+        " UNION ALL ".join(
+            f"SELECT {i} AS i, ROUND({sv}, 6) AS z"
+            for i, sv in enumerate(sql_vals)
+        )
+    ).fetchall()
+    for i, want in rows:
+        g = got[i]
+        assert g == want, (i, g, want)
+        # the value hash distinguishes -0.0 from +0.0: compare signs too
+        assert math.copysign(1.0, g) == math.copysign(1.0, want), (i, g, want)
+
+
+def test_lisa_signed_zero_parity_with_oracle(spark, duck):
+    """Sign-sensitive re-check of the r6 red row: every lisa double from
+    the engine must be bit-identical (incl. zero sign) to the oracle's."""
+    import __spark_entry__ as entry_mod
+
+    fn = entry_mod._all_queries()["lisa_quadrants"]
+    sql = entry_mod.oracle_sql()["lisa_quadrants"]
+    sp = {
+        (r["cell"],): (r["lisa"], math.copysign(1.0, r["lisa"]))
+        for r in fn(spark, SF_DIR).collect()
+    }
+    dk = duck.sql(sql).df()
+    assert len(sp) == len(dk)
+    for cell, lisa in zip(dk["cell"], dk["lisa"]):
+        got = sp[(cell,)]
+        assert got == (lisa, math.copysign(1.0, lisa)), (cell, got, lisa)
