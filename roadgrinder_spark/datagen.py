@@ -195,7 +195,15 @@ def register_source_views(spark: SparkSession, sf_dir: str) -> None:
     """
     par = spark.sparkContext.defaultParallelism
     for name in SOURCE_TABLES:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet").repartition(par)
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name != "lineitem":
+            df = df.repartition(par)
+        # lineitem's ONLY consumer (ADDRPNTS_CTE) opens with SELECT
+        # DISTINCT, whose shuffle already spreads the heavy CASE
+        # projection over every core — a round-robin repartition ahead
+        # of it was a second full shuffle (plus the mandatory
+        # sort-before-repartition) that the aggregate immediately
+        # re-partitioned away (guide §2.4: remove shuffles outright).
         df.createOrReplaceTempView(name)
 
 

@@ -1172,17 +1172,33 @@ def duplicate_spans(
     from ..session import spread_input
 
     gap = k * max(1, sample_mod)
+    # r7 shape: explode the position sequence FIRST, md5 in a plain
+    # projection after. The previous transform(..., i -> md5(...)) lambda
+    # ran the md5 per element through the INTERPRETED higher-order-function
+    # path (no whole-stage codegen inside array lambdas) — the gram pass
+    # alone measured 2.5 s of the 5.0 s probe at sf0.1; explode + project
+    # is fully codegen'd and computes the identical md5 strings. The CASE
+    # guard also closes ADVICE r6 #1: for docs shorter than k chars,
+    # sequence(1, 0) yields a DESCENDING [1, 0] and emitted two spurious
+    # gram rows (the oracle's range(1, 1) is empty) — now both engines
+    # emit zero grams for such docs.
     grams = (
         spread_input(docs)
-        .withColumn(
-            "_h",
-            F.expr(
-                f"transform(sequence(1, greatest(0, length({text_col}) - {k - 1})), "
-                f"i -> md5(CAST(substring({text_col}, i, {k}) AS BINARY)))"
-            ),
+        .select(
+            "doc_id",
+            F.col(text_col).alias("_t"),
+            F.explode(
+                F.when(
+                    F.length(text_col) >= k,
+                    F.sequence(F.lit(1), F.length(text_col) - F.lit(k - 1)),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("pos"),
         )
-        .select("doc_id", F.posexplode("_h").alias("pos0", "h"))
-        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+        .select(
+            "doc_id",
+            "pos",
+            F.expr(f"md5(CAST(substring(_t, pos, {k}) AS BINARY))").alias("h"),
+        )
     )
     if sample_mod > 1:
         grams = grams.filter(
@@ -1194,7 +1210,11 @@ def duplicate_spans(
         .filter((F.col("df") >= 2) & (F.col("df") <= max_df))
         .select("h")
     )
-    hits = grams.join(shared, "h", "left_semi").select("doc_id", "pos").distinct()
+    # no distinct: grams has exactly one row per (doc_id, pos) by
+    # construction (posexplode of the position sequence), and a left-semi
+    # join cannot duplicate left rows — the oracle's DISTINCT is a no-op
+    # spelled out; dropping it here removes a full shuffle of the hit set
+    hits = grams.join(shared, "h", "left_semi").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     brk = F.when(
         F.lag("pos").over(w).isNull() | (F.col("pos") > F.lag("pos").over(w) + gap),

@@ -75,6 +75,29 @@ def round6z(col: Column) -> Column:
     return F.when((r == 0) & neg, -F.abs(r)).otherwise(r)
 
 
+def _nsjoin(left: DataFrame, right: DataFrame, keys: list[str], how: str = "inner") -> DataFrame:
+    """Equi-join on never-null keys via eqNullSafe, keeping exchange
+    reuse alive (r7, guide §2.4). A plain equi-join infers
+    isnotnull(key) and pushes it — with the key EXPRESSION substituted —
+    below ONE side's aggregates; the raster subplans that feed the
+    units, spread, and globals branches of every statistic then stop
+    canonicalizing equal, and ReuseExchange cannot dedupe them: morans_i
+    scanned the points parquet and re-ran the rasterize aggregate 3× per
+    query (plan audit, plans/r07/q_morans_i_before.txt ops 1/12/23, the
+    op-13 filter being the vacuous isnotnull(FLOOR(px/125))). eqNullSafe
+    suppresses the inference (the hex_knn / BASELINE lesson-9 trick).
+    All keys routed here are FLOOR()/explode-derived and never null on
+    the probe side, so eqNullSafe ≡ '=' row-for-row."""
+    cond = None
+    renamed = right
+    for k in keys:
+        renamed = renamed.withColumnRenamed(k, f"_ns_{k}")
+    for k in keys:
+        c = left[k].eqNullSafe(renamed[f"_ns_{k}"])
+        cond = c if cond is None else (cond & c)
+    return left.join(renamed, cond, how).drop(*[f"_ns_{k}" for k in keys])
+
+
 def _globals_row(raster: DataFrame) -> DataFrame:
     """(n_units, s1, s2) — exact BIGINTs over the unit set."""
     return raster.agg(
@@ -113,8 +136,7 @@ def gi_star(raster: DataFrame, radius: int = 1) -> DataFrame:
         / (nd - F.lit(1.0))
     )
     return (
-        raster.withColumnRenamed("n", "x")
-        .join(nb, ["cx", "cy"])
+        _nsjoin(raster.withColumnRenamed("n", "x"), nb, ["cx", "cy"])
         .crossJoin(F.broadcast(_globals_row(raster.select("n"))))
         .select(
             pack_cell(F.col("cx"), F.col("cy")).alias("cell"),
@@ -215,8 +237,7 @@ def local_morans(raster: DataFrame, radius: int = 1) -> DataFrame:
         .otherwise(F.lit("na"))
     )
     return (
-        raster.withColumnRenamed("n", "x")
-        .join(nb, ["cx", "cy"], "left")
+        _nsjoin(raster.withColumnRenamed("n", "x"), nb, ["cx", "cy"], "left")
         .withColumn("lx", F.coalesce(F.col("lx"), F.lit(0)))
         .withColumn("wi", F.coalesce(F.col("wi"), F.lit(0)))
         .crossJoin(F.broadcast(_globals_row(raster.select("n"))))
@@ -316,13 +337,14 @@ def emerging_hotspots(
         .groupBy("cx", "cy", "b")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    dense = (
+    dense = _nsjoin(
         counts.groupBy("cx", "cy")
         .agg(F.sum("n").alias("n_total"))
-        .withColumn("b", F.explode(F.sequence(F.lit(1), F.lit(days))))
-        .join(counts, ["cx", "cy", "b"], "left")
-        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
-    )
+        .withColumn("b", F.explode(F.sequence(F.lit(1), F.lit(days)))),
+        counts,
+        ["cx", "cy", "b"],
+        "left",
+    ).withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
     a = dense.select("cx", "cy", "n_total", F.col("b").alias("b1"), F.col("n").alias("n1"))
     b = dense.select("cx", "cy", F.col("b").alias("b2"), F.col("n").alias("n2"))
     sgn = (
@@ -331,7 +353,7 @@ def emerging_hotspots(
         .otherwise(F.lit(0))
     )
     mk = (
-        a.join(b, ["cx", "cy"])
+        _nsjoin(a, b, ["cx", "cy"])
         .filter(F.col("b2") > F.col("b1"))
         .groupBy("cx", "cy", "n_total")
         .agg(F.sum(sgn).alias("mk_stat"))
@@ -412,8 +434,8 @@ def morans_i(raster: DataFrame, radius: int = 1) -> DataFrame:
             F.col("n").alias("xi"),
         )
     )
-    pairs = spread.join(
-        raster.select("cx", "cy", F.col("n").alias("xj")), ["cx", "cy"]
+    pairs = _nsjoin(
+        spread, raster.select("cx", "cy", F.col("n").alias("xj")), ["cx", "cy"]
     ).agg(
         F.sum(F.col("xi") * F.col("xj")).alias("a"),
         F.sum(F.col("xi") + F.col("xj")).alias("b"),
@@ -519,8 +541,7 @@ def join_counts(
         )
     )
     obs = (
-        a.hint("shuffle_hash")
-        .join(b, ["cx", "cy"])
+        _nsjoin(a.hint("shuffle_hash"), b, ["cx", "cy"])
         .filter(F.col("pa") < F.col("pb"))
         .agg(
             F.sum(F.col("ha") * F.col("hb")).alias("bb"),
@@ -660,9 +681,7 @@ def bivariate_moran(
         )
     )
     pairs = (
-        units.select("cx", "cy", "x")
-        .hint("shuffle_hash")
-        .join(spread, ["cx", "cy"])
+        _nsjoin(units.select("cx", "cy", "x").hint("shuffle_hash"), spread, ["cx", "cy"])
         .agg(
             F.sum(F.col("x") * F.col("yj")).alias("a_xy"),
             F.sum("x").alias("bx"),

@@ -884,9 +884,15 @@ def orphan_points(
         .select("point_id")
         .distinct()
     )
-    return pts.join(matched, "point_id", "left_anti").select(
-        "point_id", "px", "py"
-    )
+    # r7 plan audit (plans/r07/q_orphan_points_audit.txt): the anti-join
+    # was planned SortMergeJoin — the matched-id set has no stats, so the
+    # planner defaulted to the sort path and paid two full sorts.
+    # shuffle_hash builds the hash from the single-BIGINT matched side
+    # (bounded by the point count, scales per-partition; broadcast would
+    # not, the same reasoning as the cover-side hint above).
+    return pts.join(
+        matched.hint("shuffle_hash"), "point_id", "left_anti"
+    ).select("point_id", "px", "py")
 
 
 def oracle_orphan_points_sql(radius_m: float = DEFAULT_RADIUS_M) -> str:

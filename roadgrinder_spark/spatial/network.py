@@ -102,46 +102,57 @@ def bfs_hops(
     over the snap-tolerance adjacency, capped at max_hops. Returns
     (road_id, hops) for every reached road — exact BFS levels.
 
-    Per round: one equi-join frontier x edges + one anti-join against
-    visited, barriered via parquet; early-exits when the frontier
-    drains. Edge materialization happens once up front."""
-    from ..session import tmpdir_removed_at_exit as _tmpdir
+    r7 (guide §1/§2 — the per-round FIXED costs, not the data, dominated
+    this probe at sf scales): edges are persisted (MEMORY_AND_DISK —
+    spills gracefully) instead of a parquet round-trip, since every
+    round re-reads them and they are dropped at function exit; and the
+    per-round empty-frontier probe is a driver-side parquet FOOTER read
+    of the level just written (pure metadata, zero Spark jobs) instead
+    of a limit(1) count job. A two-levels-per-barrier batch was ALSO
+    measured (A/B, warm session): it LOST to the one-level loop (5.7 s
+    vs 4.7 s) — the level-h plan re-executing inside the level-h+1
+    anti-join costs more than the saved barrier. Results are exact BFS
+    levels, unchanged."""
+    from pyspark import StorageLevel
+
+    from ..session import parquet_row_count, tmpdir_removed_at_exit as _tmpdir
 
     spark = roads.sparkSession
     wd = work_dir or _tmpdir("rg_bfs_")
-    edges = road_edges(roads, snap_tol)
-    edges.write.mode("overwrite").parquet(f"{wd}/edges")
-    edges = spark.read.parquet(f"{wd}/edges")
-
-    seeds = roads.filter(F.col("objectid") % seed_mod == 0).select(
-        F.col("objectid").alias("road_id"), F.lit(0).alias("hops")
-    )
-    # each level is written ONCE to its own path; `visited` is the
-    # multi-path read over all levels so far — total rows written is
-    # O(reached), not O(reached * levels) as a rewritten-visited loop
-    # would be, and every round still reads only flat parquet lineage
-    levels = [f"{wd}/lvl=0"]
-    seeds.write.mode("overwrite").parquet(levels[0])
-    visited = spark.read.parquet(*levels)
-    frontier = visited
-    for h in range(1, max_hops + 1):
-        nxt = (
-            frontier.join(
-                edges, frontier["road_id"] == edges["src"], "inner"
-            )
-            .select(F.col("dst").alias("road_id"))
-            .distinct()
-            .join(visited, "road_id", "left_anti")
-            .withColumn("hops", F.lit(h))
+    edges = road_edges(roads, snap_tol).persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count()
+    try:
+        seeds = roads.filter(F.col("objectid") % seed_mod == 0).select(
+            F.col("objectid").alias("road_id"), F.lit(0).alias("hops")
         )
-        path = f"{wd}/lvl={h}"
-        nxt.write.mode("overwrite").parquet(path)
-        frontier = spark.read.parquet(path)
-        if frontier.limit(1).count() == 0:
-            break
-        levels.append(path)
+        # each level is written ONCE to its own path; `visited` is the
+        # multi-path read over all levels so far — total rows written is
+        # O(reached), not O(reached * levels) as a rewritten-visited
+        # loop would be
+        levels = [f"{wd}/lvl=0"]
+        seeds.write.mode("overwrite").parquet(levels[0])
         visited = spark.read.parquet(*levels)
-    return visited
+        frontier = visited
+        for h in range(1, max_hops + 1):
+            nxt = (
+                frontier.join(
+                    edges, frontier["road_id"] == edges["src"], "inner"
+                )
+                .select(F.col("dst").alias("road_id"))
+                .distinct()
+                .join(visited, "road_id", "left_anti")
+                .withColumn("hops", F.lit(h))
+            )
+            path = f"{wd}/lvl={h}"
+            nxt.write.mode("overwrite").parquet(path)
+            if parquet_row_count(path) == 0:
+                break
+            frontier = spark.read.parquet(path)
+            levels.append(path)
+            visited = spark.read.parquet(*levels)
+        return visited
+    finally:
+        edges.unpersist()
 
 
 def segment_weights(roads: DataFrame) -> DataFrame:
@@ -188,14 +199,22 @@ def network_distance(
     function as K unrolled min-aggregate levels, so the semantics is
     pinned engine-independently.
 
-    Scale design: edges (with dst weights joined on) are materialized
-    ONCE; each round is one equi-join (frontier x edges, shuffle bounded
-    by frontier size) + one min aggregate + one left join against the
-    current best labels, barriered through parquet like bfs_hops (the
-    localCheckpoint ~5x/round trap). `best` is rewritten per round —
-    O(V) rows x K rounds, the delta-stepping trade accepted for a flat
-    lineage; a 1000-executor run shards all of it by road_id."""
-    from ..session import tmpdir_removed_at_exit as _tmpdir
+    Scale design: edges (with dst weights joined on) are persisted ONCE
+    (MEMORY_AND_DISK, dropped at function exit — cheaper than the r6
+    parquet round-trip, spills gracefully); each round is one equi-join
+    (frontier x edges, shuffle bounded by frontier size) + one min
+    aggregate folded into the label table by a full-outer merge. r7
+    barrier layout (guide §1/§2: write/read/probe fixed costs dominated
+    at 4 rounds): TWO relax rounds chain lazily per barrier and ONE
+    merged (road_id, dist_dm, _imp) table is written per barrier — the
+    improved-flag column replaces the separate frontier file, halving
+    the O(V) writes and dropping the per-round probe jobs. Labels are
+    identical to the per-round loop: each merge keeps min(best, cand)
+    and flags strict improvements, so round h's frontier is exactly the
+    r6 frontier. A 1000-executor run shards all of it by road_id."""
+    from pyspark import StorageLevel
+
+    from ..session import parquet_bool_any, tmpdir_removed_at_exit as _tmpdir
 
     spark = roads.sparkSession
     wd = work_dir or _tmpdir("rg_netdist_")
@@ -204,42 +223,62 @@ def network_distance(
         road_edges(roads, snap_tol)
         .join(w.withColumnRenamed("rid", "dst"), "dst")
         .select("src", "dst", "w")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    edges.write.mode("overwrite").parquet(f"{wd}/edges")
-    edges = spark.read.parquet(f"{wd}/edges")
-
-    seeds = roads.filter(F.col("objectid") % seed_mod == 0).select(
-        F.col("objectid").alias("road_id"),
-        F.lit(0).cast("long").alias("dist_dm"),
-    )
-    seeds.write.mode("overwrite").parquet(f"{wd}/best0")
-    best = spark.read.parquet(f"{wd}/best0")
-    frontier = best
-    for h in range(1, max_hops + 1):
-        cand = (
-            frontier.join(edges, frontier["road_id"] == edges["src"])
-            .select(
-                F.col("dst").alias("road_id"),
-                (F.col("dist_dm") + F.col("w")).alias("cand_dm"),
-            )
-            .groupBy("road_id")
-            .agg(F.min("cand_dm").alias("cand_dm"))
+    edges.count()
+    try:
+        seeds = roads.filter(F.col("objectid") % seed_mod == 0).select(
+            F.col("objectid").alias("road_id"),
+            F.lit(0).cast("long").alias("dist_dm"),
+            F.lit(True).alias("_imp"),
         )
-        improved = (
-            cand.join(best, "road_id", "left")
-            .filter(F.col("dist_dm").isNull() | (F.col("cand_dm") < F.col("dist_dm")))
-            .select("road_id", F.col("cand_dm").alias("dist_dm"))
-        )
-        fpath = f"{wd}/front{h}"
-        improved.write.mode("overwrite").parquet(fpath)
-        frontier = spark.read.parquet(fpath)
-        if frontier.limit(1).count() == 0:
-            break
-        nxt = best.join(frontier, "road_id", "left_anti").unionByName(frontier)
-        bpath = f"{wd}/best{h}"
-        nxt.write.mode("overwrite").parquet(bpath)
-        best = spark.read.parquet(bpath)
-    return best
+        seeds.write.mode("overwrite").parquet(f"{wd}/best0")
+        cur = spark.read.parquet(f"{wd}/best0")
+        h = 0
+        while h < max_hops:
+            steps = min(2, max_hops - h)
+            b = cur
+            for _ in range(steps):
+                h += 1
+                f = b.filter(F.col("_imp")).select("road_id", "dist_dm")
+                cand = (
+                    f.join(edges, f["road_id"] == edges["src"])
+                    .select(
+                        F.col("dst").alias("road_id"),
+                        (F.col("dist_dm") + F.col("w")).alias("cand_dm"),
+                    )
+                    .groupBy("road_id")
+                    .agg(F.min("cand_dm").alias("cand_dm"))
+                )
+                imp = F.col("cand_dm").isNotNull() & (
+                    F.col("dist_dm").isNull()
+                    | (F.col("cand_dm") < F.col("dist_dm"))
+                )
+                b = (
+                    b.select("road_id", "dist_dm")
+                    .join(cand, ["road_id"], "full")
+                    .select(
+                        "road_id",
+                        F.when(imp, F.col("cand_dm"))
+                        .otherwise(F.col("dist_dm"))
+                        .alias("dist_dm"),
+                        imp.alias("_imp"),
+                    )
+                )
+            bpath = f"{wd}/best{h}"
+            b.write.mode("overwrite").parquet(bpath)
+            cur = spark.read.parquet(bpath)
+            # any-improvement probe from the written footers' _imp column
+            # statistics — zero Spark jobs; falls back to a limit(1)
+            # probe if a writer ever omits boolean min/max stats
+            any_imp = parquet_bool_any(bpath, "_imp")
+            if any_imp is None:
+                any_imp = cur.filter(F.col("_imp")).limit(1).count() > 0
+            if not any_imp:
+                break
+        return cur.select("road_id", "dist_dm")
+    finally:
+        edges.unpersist()
 
 
 def oracle_network_distance_sql(

@@ -93,7 +93,12 @@ def route_snap(
         k=1,
         radius_m=radius_m,
     ).select(F.col("point_id").alias("ping_id"), "road_id")
-    snapped = pings.join(snap, "ping_id", "left")
+    # r7 plan audit (plans/r07/q_route_snap_audit.txt): the payload
+    # re-attach was planned SortMergeJoin (no stats on the aggregated
+    # snap side); shuffle_hash builds the per-partition hash from the
+    # narrow (ping_id, road_id) snap relation instead of sorting both
+    # sides — scales with pings/partitions, unlike a broadcast
+    snapped = pings.join(snap.hint("shuffle_hash"), "ping_id", "left")
     w = Window.partitionBy("user_id").orderBy("ts", "ping_id")
     prev = F.lag("road_id").over(w)
     rn = F.row_number().over(w)
@@ -566,55 +571,68 @@ def route_match_hmm(
                     prev = r
                     break
 
-    def _user(key, cdf: pd.DataFrame, pdf: pd.DataFrame) -> pd.DataFrame:
-        # ONE Arrow round-trip per user, chunks looped in python — a
-        # per-(user, chunk) cogroup measured 5.5 ms/group of pure Arrow
-        # batch overhead (11.4 s for 2k groups with a TRIVIAL kernel at
-        # sf0.01, worse because AQE coalesced the tiny shuffle to one
-        # partition); per-user grouping cuts group count by ~chunk x
-        # users' chunks and the explicit repartition below keeps the
-        # stage parallel.
+    def _bucket(key, cdf, pdf):
+        # r7 (VERDICT r6 #7): MANY users per Arrow group. The r6 per-user
+        # cogroup paid the fixed per-group Arrow overhead (~5.5 ms/group
+        # measured with a trivial kernel) once per user — 1,500 groups at
+        # sf0.1, ~35 s of the 74.7 s ×100 run was cogroup machinery.
+        # Grouping by a hash bucket of user_id packs ~(users / n_groups)
+        # users per group, amortizing the flush while keeping the kernel
+        # and its output rows byte-identical (the bucket loop below is
+        # the old per-user body keyed (user, chunk)).
         if cdf.empty:
             return pd.DataFrame(
                 {"user_id": [], "ping_id": [], "road_id": []}
             ).astype({"user_id": "int64", "ping_id": "int64", "road_id": "float64"})
-        uid = int(cdf["user_id"].iloc[0])
-        by_chunk: dict[int, tuple[dict, dict]] = {}
-        for ck, cpos, pid, lst in zip(
-            cdf["chunk"], cdf["cpos"], cdf["ping_id"], cdf["cand_roads"]
+        by_key: dict[tuple[int, int], tuple[dict, dict]] = {}
+        for uid, ck, cpos, pid, lst in zip(
+            cdf["user_id"], cdf["chunk"], cdf["cpos"], cdf["ping_id"],
+            cdf["cand_roads"],
         ):
-            bp, pa = by_chunk.setdefault(int(ck), ({}, {}))
+            bp, pa = by_key.setdefault((int(uid), int(ck)), ({}, {}))
             if lst is None or len(lst) == 0:
                 bp[int(cpos)] = {SENT: 0}
             else:
                 # rank order == array index == emission cost
                 bp[int(cpos)] = {int(r): e for e, r in enumerate(lst)}
             pa[int(cpos)] = int(pid)
-        adjs: dict[int, set] = {}
-        for ck, cpos, rp, rn in zip(pdf["chunk"], pdf["cpos"], pdf["rp"], pdf["rn"]):
-            adjs.setdefault(int(ck), set()).add((int(cpos), int(rp), int(rn)))
+        adjs: dict[tuple[int, int], set] = {}
+        for uid, ck, cpos, rp, rn in zip(
+            pdf["user_id"], pdf["chunk"], pdf["cpos"], pdf["rp"], pdf["rn"]
+        ):
+            adjs.setdefault((int(uid), int(ck)), set()).add(
+                (int(cpos), int(rp), int(rn))
+            )
+        out_u: list[int] = []
         out_p: list[int] = []
         out_r: list[int | None] = []
-        for ck in sorted(by_chunk):
-            bp, pa = by_chunk[ck]
-            _viterbi_chunk(bp, pa, adjs.get(ck, set()), out_p, out_r)
+        for uk in sorted(by_key):
+            bp, pa = by_key[uk]
+            n0 = len(out_p)
+            _viterbi_chunk(bp, pa, adjs.get(uk, set()), out_p, out_r)
+            out_u.extend([uk[0]] * (len(out_p) - n0))
         return pd.DataFrame(
             {
-                "user_id": [uid] * len(out_p),
+                "user_id": out_u,
                 "ping_id": out_p,
                 "road_id": pd.array(out_r, dtype="Int64"),
             }
         )
 
-    # explicit width: AQE's coalescer folds the tiny per-user shuffle
-    # into ONE partition, serializing the python stage
+    # explicit width: AQE's coalescer folds the tiny shuffle into ONE
+    # partition, serializing the python stage. n_groups scales with the
+    # session's parallelism (NOT a local[32] constant): enough buckets
+    # for even load, few enough that each amortizes the per-group Arrow
+    # flush over many users.
     n_part = max(pings.sparkSession.sparkContext.defaultParallelism, 8)
-    cands_p = cands.repartition(n_part, "user_id")
-    pairs_p = pairs.repartition(n_part, "user_id")
+    n_groups = n_part * 8
+    gkey = F.pmod(F.xxhash64(F.col("user_id")), F.lit(n_groups))
+    cands_p = cands.withColumn("_g", gkey).repartition(n_part, "_g")
+    pairs_p = pairs.withColumn("_g", gkey).repartition(n_part, "_g")
     return (
-        cands_p.groupBy("user_id")
-        .cogroup(pairs_p.groupBy("user_id"))
-        .applyInPandas(_user, "user_id bigint, ping_id bigint, road_id bigint")
+        cands_p.groupBy("_g")
+        .cogroup(pairs_p.groupBy("_g"))
+        .applyInPandas(_bucket, "user_id bigint, ping_id bigint, road_id bigint")
     )
 
 

@@ -40,6 +40,41 @@ def _uniq(prefix: str) -> str:
     return f"{prefix}_{os.getpid()}_{next(_SEQ)}"
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _stream_shuffle(spark: SparkSession, *src_dirs: str, target_bytes: int = 32 << 20):
+    """Size the STATEFUL drains' shuffle partitions to the staged stream
+    volume instead of the batch session default.
+
+    Every stateful streaming operator instantiates one state store PER
+    shuffle partition per operator, each with its own delta/commit file
+    I/O per micro-batch — fixed cost that scales with the partition
+    count, not the data (r7 measurement, guide §1/§2: the stream-stream
+    interval-join drain took 5.9 s at 32 partitions vs 2.4 s at 8 on the
+    SAME input, and a ZERO-ROW drain took 3.5 s vs 1.8 s). Partitions
+    here derive from staged source bytes (~target_bytes of input per
+    state partition, floor 8) so the setting is scale-adaptive: tiny
+    gate stages get the floor, a corpus-scale stream grows back to the
+    session value. The session conf is restored on exit; results are
+    partitioning-invariant."""
+    size = 0
+    for sd in src_dirs:
+        try:
+            for f in os.listdir(sd):
+                size += os.path.getsize(os.path.join(sd, f))
+        except OSError:
+            pass
+    cur = spark.conf.get("spark.sql.shuffle.partitions")
+    n = max(8, min(int(cur), -(-size // target_bytes)))
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", cur)
+
+
 def _stage_copy(src_file: str, prefix: str) -> str:
     """Stage one parquet file as a single-file stream-source directory."""
     d = _tmpdir_removed_at_exit(prefix)
@@ -55,7 +90,8 @@ def drained_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch-micros hours (the r1 sessionize lesson: integer micros are the
     hash-stable cross-engine timestamp form)."""
     src = _stage_copy(f"{sf_dir}/events.parquet", "rg_sgate_roll_")
-    out = backfill_hourly_rollup(spark, src, query_name=_uniq("rollup_gate"))
+    with _stream_shuffle(spark, src):
+        out = backfill_hourly_rollup(spark, src, query_name=_uniq("rollup_gate"))
     return out.select(
         F.unix_micros("hour").alias("hour_us"), "event_type", "n", "sum_value"
     )
@@ -97,7 +133,8 @@ def drained_sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) 
         )
         .select("user_id", "n_events", "started", "ended")
     )
-    rows = run_available_now(res, query_name=_uniq("sess_gate"))
+    with _stream_shuffle(spark, src):
+        rows = run_available_now(res, query_name=_uniq("sess_gate"))
     streamed = spark.createDataFrame(
         rows, "user_id long, n_events bigint, started long, ended long"
     )
@@ -137,6 +174,12 @@ def drained_geocode_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.mode("overwrite")
         .parquet(src)
     )
+    # measured r7 (guide §1: measure first): materializing geocode_roads
+    # to a parquet dimension before the stream — the "obvious" fix for
+    # the per-batch CTE recompute — made the drain SLOWER (stream run
+    # 5.7 s with the parquet dim vs 3.5 s lazy, same warm session), so
+    # the lazy dimension stays. The per-batch cost is broadcast-build
+    # dominated either way at gate scales.
     gcr = rg.explode_aliases(datagen.derive_roads(spark, sf_dir)).geocode_roads
     q = streaming_geocode_match(
         spark, src, gcr, out_dir, ckpt, max_files_per_trigger=2
@@ -170,7 +213,8 @@ def drained_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src)
     )
     res = streaming_exact_dedup(spark, src, watermark="2 hours")
-    rows = run_available_now(res, query_name=_uniq("dedup_gate"))
+    with _stream_shuffle(spark, src):
+        rows = run_available_now(res, query_name=_uniq("dedup_gate"))
     emitted = spark.createDataFrame(
         [(r["text_md5"],) for r in rows], "text_md5 string"
     )
@@ -217,7 +261,8 @@ def drained_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("l_ts").alias("purchase_us"),
         F.unix_micros("r_ts").alias("click_us"),
     )
-    rows = run_available_now(joined, query_name=_uniq("ij_gate"))
+    with _stream_shuffle(spark, src):
+        rows = run_available_now(joined, query_name=_uniq("ij_gate"))
     return spark.createDataFrame(
         rows,
         "purchase_id long, click_id long, user_id long, "
