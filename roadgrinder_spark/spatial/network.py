@@ -47,12 +47,19 @@ def _endpoints(roads: DataFrame) -> DataFrame:
     return a.unionByName(b)
 
 
-def road_edges(roads: DataFrame, snap_tol: float = DEFAULT_SNAP_TOL) -> DataFrame:
+def road_edges(
+    roads: DataFrame, snap_tol: float = DEFAULT_SNAP_TOL, dedup: bool = True
+) -> DataFrame:
     """Directed adjacency (src, dst): road pairs with any endpoint pair
     within snap_tol. Both directions present; DISTINCT collapses multi-
     endpoint contacts. Shuffle is by endpoint cell id (9N ring rows);
     the unexploded side builds the hash relation (the point_pairs
-    build-side lesson)."""
+    build-side lesson).
+
+    dedup=False skips the DISTINCT (one exchange + aggregate over the
+    full edge set) for consumers whose semantics are set-insensitive —
+    route_match_hmm uses the edges only as a left-semi right side, where
+    duplicate rows cannot change the result (r7, guide §2.4)."""
     s = float(snap_tol)
     nodes = _endpoints(roads)
     a = nodes.select(
@@ -81,14 +88,14 @@ def road_edges(roads: DataFrame, snap_tol: float = DEFAULT_SNAP_TOL) -> DataFram
     )
     dx = F.col("bx") - F.col("ax")
     dy = F.col("by") - F.col("ay")
-    return (
+    out = (
         a.hint("shuffle_hash")
         .join(b, "cell")
         .filter(F.col("src") != F.col("dst"))
         .filter(dx * dx + dy * dy <= F.lit(s * s))
         .select("src", "dst")
-        .distinct()
     )
+    return out.distinct() if dedup else out
 
 
 def bfs_hops(

@@ -506,7 +506,10 @@ def route_match_hmm(
     # pings and made the cogroup the dominant stage (55.7 s with a
     # TRIVIAL kernel); adjacency rows are the only data-dependent part
     # and are bounded by road geometry, not ping volume.
-    adj = road_edges(roads, snap).select(
+    # dedup=False: the semi-join below is set-insensitive, so the edge
+    # build's DISTINCT (an exchange + aggregate over the full edge set)
+    # is pure overhead here (r7)
+    adj = road_edges(roads, snap, dedup=False).select(
         F.col("src").alias("rp"), F.col("dst").alias("rn")
     )
     pairs = (
