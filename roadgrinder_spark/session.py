@@ -112,34 +112,43 @@ def tmpdir_removed_at_exit(prefix: str) -> str:
     return wd
 
 
-def parquet_row_count(path: str) -> int:
+def parquet_row_count(path: str) -> int | None:
     """Driver-side row count of a local parquet directory from the file
     FOOTERS — the same metadata any scan's planning reads, no Spark job.
     The iterative-loop barriers (BFS / Bellman–Ford rounds) use this for
     their empty-frontier probes instead of a limit(1) count job per
     round (guide §1: the probes were pure fixed cost at every scale —
-    the frontier was just written, its footers are authoritative)."""
+    the frontier was just written, its footers are authoritative).
+
+    Returns None when NO part file is visible via the local filesystem
+    (e.g. the path is on HDFS/S3) — callers MUST fall back to a Spark
+    probe then; a parquet write always leaves at least one part file, so
+    zero matches can only mean 'not a local path'."""
     import glob as _glob
 
     import pyarrow.parquet as pq
 
-    return sum(
-        pq.read_metadata(f).num_rows
-        for f in _glob.glob(os.path.join(path, "*.parquet"))
-    )
+    files = _glob.glob(os.path.join(path, "*.parquet"))
+    if not files:
+        return None
+    return sum(pq.read_metadata(f).num_rows for f in files)
 
 
 def parquet_bool_any(path: str, col: str) -> bool | None:
     """True/False: does any row of the just-written local parquet dir
     have `col` == true, answered from row-group column STATISTICS only
-    (no Spark job). Returns None when a footer lacks min/max stats —
+    (no Spark job). Returns None when a footer lacks min/max stats OR no
+    part file is visible via the local filesystem (non-local path) —
     callers fall back to a Spark probe."""
     import glob as _glob
 
     import pyarrow.parquet as pq
 
+    files = _glob.glob(os.path.join(path, "*.parquet"))
+    if not files:
+        return None
     result = False
-    for f in _glob.glob(os.path.join(path, "*.parquet")):
+    for f in files:
         md = pq.read_metadata(f)
         if md.num_rows == 0:
             continue

@@ -152,7 +152,10 @@ def bfs_hops(
             )
             path = f"{wd}/lvl={h}"
             nxt.write.mode("overwrite").parquet(path)
-            if parquet_row_count(path) == 0:
+            n_rows = parquet_row_count(path)
+            if n_rows is None:  # non-local path: Spark probe fallback
+                n_rows = spark.read.parquet(path).limit(1).count()
+            if n_rows == 0:
                 break
             frontier = spark.read.parquet(path)
             levels.append(path)
