@@ -174,17 +174,30 @@ def drained_geocode_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.mode("overwrite")
         .parquet(src)
     )
-    # measured r7 (guide §1: measure first): materializing geocode_roads
-    # to a parquet dimension before the stream — the "obvious" fix for
-    # the per-batch CTE recompute — made the drain SLOWER (stream run
-    # 5.7 s with the parquet dim vs 3.5 s lazy, same warm session), so
-    # the lazy dimension stays. The per-batch cost is broadcast-build
-    # dominated either way at gate scales.
-    gcr = rg.explode_aliases(datagen.derive_roads(spark, sf_dir)).geocode_roads
-    q = streaming_geocode_match(
-        spark, src, gcr, out_dir, ckpt, max_files_per_trigger=2
+    # r7, measured twice (guide §1): the per-batch cost of the static
+    # side is BROADCAST-BUILD dominated, not recompute dominated — a
+    # parquet dimension (accurate small stats → broadcast per batch)
+    # made the drain SLOWER than the lazy CTE (5.7 s vs 3.5 s stream
+    # run), and the winner of the 4-way A/B is persist + the
+    # signature-shuffle plan (2.7 s vs 4.1 s lazy per drain): computed
+    # once per drain from the sf inputs, no broadcast rebuild per batch,
+    # dropped before returning (outputs are already materialized in the
+    # sink's parquet).
+    from pyspark import StorageLevel
+
+    gcr = (
+        rg.explode_aliases(datagen.derive_roads(spark, sf_dir))
+        .geocode_roads.persist(StorageLevel.MEMORY_AND_DISK)
     )
-    q.awaitTermination()
+    gcr.count()
+    try:
+        q = streaming_geocode_match(
+            spark, src, gcr, out_dir, ckpt, max_files_per_trigger=2,
+            shuffle_sides=True,
+        )
+        q.awaitTermination()
+    finally:
+        gcr.unpersist()
     return read_streamed_matches(spark, out_dir).select(
         "point_id", "road_gid", "side"
     )

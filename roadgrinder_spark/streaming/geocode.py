@@ -55,9 +55,18 @@ def streaming_geocode_match(
     out_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: int = 4,
+    shuffle_sides: bool = False,
 ):
     """Start (availableNow) a streaming geocode enrichment; returns the
-    StreamingQuery. Output parquet under out_dir/batch=<id>/."""
+    StreamingQuery. Output parquet under out_dir/batch=<id>/.
+
+    shuffle_sides passes through to geocode_match: with a persisted
+    static side its accurate (small) stats make the planner broadcast
+    it, and rebuilding that broadcast hash relation in EVERY micro-batch
+    measured strictly slower than the signature-shuffle plan (r7 4-way
+    A/B: persist+shuffle_sides 2.7 s vs persist-broadcast 3.7 s vs lazy
+    4.1 s per drain at sf0.1) — the same per-batch-broadcast cost the
+    batch matcher's knn_join documented at round 1."""
     from ..spatial.join import geocode_match
 
     static_roads = geocode_roads
@@ -69,7 +78,7 @@ def streaming_geocode_match(
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        matched = geocode_match(batch_df, static_roads)
+        matched = geocode_match(batch_df, static_roads, shuffle_sides=shuffle_sides)
         # idempotent per-batch overwrite => exactly-once under replays
         matched.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
 
